@@ -1,0 +1,205 @@
+"""Attention-gated residual 3D U-Net with deep supervision — TPU-native.
+
+Behavioral parity with the reference PyTorch model (``main.py:102-299``),
+re-designed for TPU:
+
+  * NDHWC layout (channels-last) so XLA tiles conv3d onto the MXU.
+  * bf16 compute / fp32 params & norm statistics (replaces CUDA AMP,
+    reference ``training.py:200,292-299``).
+  * Optional ``jax.checkpoint`` (remat) on each DoubleConv block — trades
+    FLOPs for HBM at 128^3+ activations (SURVEY.md section 3.4: level-0
+    activations are ~537 MB fp32 in the reference).
+  * Pure functional forward: deep-supervision heads always traced; the
+    train/eval distinction is a static ``train`` flag, not module state.
+
+Architecture (reference ``main.py:105-203``):
+  encoder: 5 x [DoubleConv3D -> (deep-sup 1x1x1 conv, trilinear to full res)
+               -> MaxPool(2) -> ChannelDropout]
+  bottleneck: DoubleConv3D(features[-1] -> 2*features[-1])
+  decoder: 5 x [ConvTranspose(k2,s2) -> AttentionGate3D(g=up, x=skip)
+               -> concat(x_att, up) -> DoubleConv3D]
+  head: Conv3x3 -> BatchNorm -> ReLU -> Conv1x1 -> out_channels logits
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.norm import group_norm
+from ..ops.pool import max_pool3d, global_avg_pool
+from ..ops.resize import resize_trilinear
+
+KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm wrapper over the functional op (Pallas-swappable)."""
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, gamma, beta, self.num_groups, self.eps)
+
+
+class DoubleConv3D(nn.Module):
+    """Conv3-GN8-ReLU x2 with residual add (reference ``main.py:205-242``).
+
+    Residual: identity when in_ch == out_ch and ``use_residual``;
+    1x1x1 Conv + GN(8) projection when in_ch != out_ch.
+    """
+
+    out_channels: int
+    mid_channels: int | None = None
+    use_residual: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        mid = self.mid_channels or self.out_channels
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k, k), padding="SAME", use_bias=False,
+            kernel_init=KAIMING, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+
+        out = conv(mid, 3, "conv1")(x)
+        out = GroupNorm(8, name="gn1")(out)
+        out = nn.relu(out)
+        out = conv(self.out_channels, 3, "conv2")(out)
+        out = GroupNorm(8, name="gn2")(out)
+        out = nn.relu(out)
+
+        if in_ch == self.out_channels:
+            if self.use_residual:
+                out = out + x
+        else:
+            res = conv(self.out_channels, 1, "proj")(x)
+            res = GroupNorm(8, name="gn_proj")(res)
+            out = out + res
+        return out
+
+
+class AttentionGate3D(nn.Module):
+    """Additive spatial attention gate + squeeze-excite channel attention
+    (reference ``main.py:244-299``).
+
+    g: gating signal (decoder, coarse); x: skip features. Returns gated x.
+    """
+
+    f_int: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, g, x):
+        conv1 = lambda f, name: nn.Conv(
+            f, (1, 1, 1), use_bias=True, kernel_init=KAIMING,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        f_l = x.shape[-1]
+
+        g1 = GroupNorm(4, name="gn_g")(conv1(self.f_int, "w_g")(g))
+        x1 = GroupNorm(4, name="gn_x")(conv1(self.f_int, "w_x")(x))
+        if g1.shape[1:-1] != x1.shape[1:-1]:
+            g1 = resize_trilinear(g1, x1.shape[1:-1])
+
+        psi = nn.relu(g1 + x1)
+        psi = GroupNorm(1, name="gn_psi")(conv1(1, "psi")(psi))
+        psi = nn.sigmoid(psi)
+        x_spatial = x * psi
+
+        # Squeeze-excite channel attention on the raw skip features.
+        se = global_avg_pool(x)
+        se = nn.relu(conv1(max(f_l // 8, 1), "se_down")(se))
+        se = nn.sigmoid(conv1(f_l, "se_up")(se))
+        return x_spatial * se
+
+
+class UNet3D(nn.Module):
+    """Flagship segmentation model (reference ``main.py:102-203``).
+
+    Call: ``model.apply(vars, x, train=..., rngs={'dropout': k})``
+    with x of shape (B, D, H, W, C). Returns a dict:
+      {"logits": (B,D,H,W,out), "deep": [4 x (B,D,H,W,out)]}
+    Deep outputs are only populated when ``train=True`` (matching the
+    reference's train/eval return split, ``main.py:200-203``).
+    """
+
+    out_channels: int = 4
+    features: Sequence[int] = (32, 64, 128, 256, 512)
+    dropout_rate: float = 0.2
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
+        feats = tuple(self.features)
+        dc = DoubleConv3D
+        if self.remat:
+            dc = nn.remat(DoubleConv3D)
+        block = lambda f, name: dc(
+            f, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        conv_out = lambda name: nn.Conv(
+            self.out_channels, (1, 1, 1), kernel_init=KAIMING,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+
+        x = x.astype(self.dtype)
+        full_res = x.shape[1:-1]
+        skips: List[jax.Array] = []
+        deep: List[jax.Array] = []
+
+        # ---- encoder ----
+        for i, f in enumerate(feats):
+            x = block(f, f"down{i}")(x)
+            skips.append(x)
+            if i < len(feats) - 1:
+                d = conv_out(f"deep{i}")(x)
+                deep.append(
+                    resize_trilinear(d, full_res).astype(jnp.float32))
+            x = max_pool3d(x, 2)
+            x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2, 3),
+                           deterministic=not train)(x)
+
+        # ---- bottleneck ----
+        x = block(feats[-1] * 2, "bottleneck")(x)
+
+        # ---- decoder ----
+        for i, f in enumerate(reversed(feats)):
+            skip = skips[-(i + 1)]
+            x = nn.ConvTranspose(
+                f, (2, 2, 2), strides=(2, 2, 2), kernel_init=KAIMING,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"up{i}")(x)
+            x_att = AttentionGate3D(
+                f_int=max(f // 2, 1), dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"att{i}")(g=x, x=skip)
+            if x.shape[1:-1] != skip.shape[1:-1]:
+                x = resize_trilinear(x, skip.shape[1:-1])
+            x = block(f, f"dec{i}")(jnp.concatenate([x_att, x], axis=-1))
+
+        # ---- head: Conv3-BN-ReLU-Conv1 (reference main.py:129-134) ----
+        h = nn.Conv(feats[0] // 2, (3, 3, 3), padding="SAME",
+                    kernel_init=KAIMING, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="head_conv")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="head_bn")(h.astype(jnp.float32))
+        h = nn.relu(h).astype(self.dtype)
+        logits = nn.Conv(self.out_channels, (1, 1, 1), kernel_init=KAIMING,
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="head_out")(h)
+
+        return {
+            "logits": logits.astype(jnp.float32),
+            "deep": deep if train else [],
+        }

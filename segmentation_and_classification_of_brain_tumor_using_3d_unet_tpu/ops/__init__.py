@@ -1,0 +1,15 @@
+"""TPU-native op library: the XLA/Pallas replacement for the role torch's
+cuDNN backend plays in the reference (SURVEY.md section 2: conv3d, pooling,
+GroupNorm, trilinear interp, AMP)."""
+
+from .norm import group_norm, batch_norm_infer
+from .resize import resize_trilinear, resize_nearest, adaptive_avg_pool
+from .pool import max_pool3d, global_avg_pool
+from .stats import percentile, percentile_clip, zscore_normalize
+
+__all__ = [
+    "group_norm", "batch_norm_infer",
+    "resize_trilinear", "resize_nearest", "adaptive_avg_pool",
+    "max_pool3d", "global_avg_pool",
+    "percentile", "percentile_clip", "zscore_normalize",
+]

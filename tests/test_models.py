@@ -1,0 +1,159 @@
+"""Model tests: shapes, deep-supervision contract, dtype policy, grads,
+and op-level parity (GroupNorm / pooling / resize vs torch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu import (
+    models, ops)
+
+FEATS = (8, 16)          # 2-level net for fast CPU tests
+SHAPE = (1, 16, 16, 16, 2)   # B, D, H, W, C
+
+
+@pytest.fixture(scope="module")
+def unet_vars():
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    x = jnp.zeros(SHAPE, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def test_unet_eval_shapes(unet_vars):
+    model, variables = unet_vars
+    x = jnp.ones(SHAPE, jnp.float32)
+    out = model.apply(variables, x, train=False)
+    assert out["logits"].shape == (1, 16, 16, 16, 4)
+    assert out["deep"] == []        # eval mode: no deep outputs
+
+
+def test_unet_train_deep_outputs(unet_vars):
+    model, variables = unet_vars
+    x = jnp.ones(SHAPE, jnp.float32)
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    # deep heads exist for features[:-1] levels (reference main.py:137-140)
+    assert len(out["deep"]) == len(FEATS) - 1
+    for d in out["deep"]:
+        assert d.shape == (1, 16, 16, 16, 4)   # upsampled to full res
+    assert "batch_stats" in mutated
+
+
+def test_unet_bf16_compute_fp32_out():
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.bfloat16)
+    x = jnp.ones(SHAPE, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["logits"].dtype == jnp.float32
+    # params stay fp32
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_unet_gradients_finite(unet_vars):
+    model, variables = unet_vars
+    x = jnp.ones(SHAPE, jnp.float32)
+    tgt = jnp.zeros(SHAPE[:-1], jnp.int32)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.mean(out["logits"] ** 2) + sum(
+            jnp.mean(d ** 2) for d in out["deep"])
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(g))
+
+
+def test_unet_remat_matches():
+    x = jnp.linspace(0, 1, int(np.prod(SHAPE)),
+                     dtype=jnp.float32).reshape(SHAPE)
+    m1 = models.UNet3D(out_channels=4, features=FEATS, dtype=jnp.float32,
+                       remat=False)
+    m2 = models.UNet3D(out_channels=4, features=FEATS, dtype=jnp.float32,
+                       remat=True)
+    v = m1.init(jax.random.PRNGKey(0), x, train=False)
+    o1 = m1.apply(v, x, train=False)["logits"]
+    o2 = m2.apply(v, x, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_classifier_shapes():
+    model = models.BrainTumorClassifier(num_classes=4, dtype=jnp.float32)
+    x = jnp.ones((2, 16, 16, 16, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 4)
+    assert logits.dtype == jnp.float32
+
+
+# ---- op-level parity vs torch ------------------------------------------
+
+
+def test_group_norm_matches_torch(rng):
+    x = rng.normal(size=(2, 4, 4, 4, 16)).astype(np.float32)
+    gamma = rng.normal(size=16).astype(np.float32)
+    beta = rng.normal(size=16).astype(np.float32)
+    got = np.asarray(ops.group_norm(jnp.asarray(x), jnp.asarray(gamma),
+                                    jnp.asarray(beta), num_groups=8))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    gn = torch.nn.GroupNorm(8, 16, eps=1e-5)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(gamma))
+        gn.bias.copy_(torch.from_numpy(beta))
+        want = gn(xt).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.normal(size=(1, 8, 8, 8, 3)).astype(np.float32)
+    got = np.asarray(ops.max_pool3d(jnp.asarray(x), 2))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    want = F.max_pool3d(xt, 2).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_trilinear_resize_matches_torch(rng):
+    """align_corners=False parity (reference main.py:165-170)."""
+    x = rng.normal(size=(1, 4, 4, 4, 3)).astype(np.float32)
+    got = np.asarray(ops.resize_trilinear(jnp.asarray(x), (8, 8, 8)))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    want = F.interpolate(xt, size=(8, 8, 8), mode="trilinear",
+                         align_corners=False)
+    want = want.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    x = rng.normal(size=(1, 8, 8, 8, 5)).astype(np.float32)
+    got = np.asarray(ops.adaptive_avg_pool(jnp.asarray(x), (4, 4, 4)))
+    xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    want = F.adaptive_avg_pool3d(xt, (4, 4, 4)).permute(
+        0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # non-divisible path
+    got2 = np.asarray(ops.adaptive_avg_pool(jnp.asarray(x), (3, 3, 3)))
+    want2 = F.adaptive_avg_pool3d(xt, (3, 3, 3)).permute(
+        0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+
+def test_percentile_clip_zscore_matches_numpy(rng):
+    x = rng.normal(size=(16, 16, 16)).astype(np.float32) * 50 + 10
+    got = np.asarray(ops.percentile_clip(jnp.asarray(x), 1.0, 99.0))
+    want = np.clip(x, np.percentile(x, 1), np.percentile(x, 99))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+    z = np.asarray(ops.zscore_normalize(jnp.asarray(x)))
+    wz = (x - x.mean()) / (x.std() + 1e-8)
+    np.testing.assert_allclose(z, wz, atol=1e-3)
