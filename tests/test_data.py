@@ -1,0 +1,158 @@
+"""Data layer tests: NIfTI codec round-trip, synthetic generators,
+dataset scanning (.npy AND .nii.gz — the reference's format mismatch bug
+must not reproduce), on-device preprocessing, and the prefetch loader."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu import (
+    config)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+    BraTS2024Dataset, BrainTumorDataset, DeviceDataLoader,
+    create_brats_data_loaders, create_enhanced_synthetic_data,
+    create_synthetic_data, nifti, preprocess_batch, preprocess_image,
+    preprocess_segmentation, synthesize_volume)
+
+SMALL = (24, 24, 16)
+
+
+# ---------------- NIfTI codec ----------------
+
+@pytest.mark.parametrize("ext", ["nii", "nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.uint8, np.int16])
+def test_nifti_roundtrip(tmp_path, rng, ext, dtype):
+    if np.issubdtype(dtype, np.floating):
+        data = rng.normal(size=(7, 9, 5)).astype(dtype)
+    else:
+        data = rng.integers(0, 100, size=(7, 9, 5)).astype(dtype)
+    p = str(tmp_path / f"vol.{ext}")
+    nifti.save(p, data, spacing=(1.0, 2.0, 3.0))
+    img = nifti.load(p)
+    np.testing.assert_array_equal(img.data, data)
+    assert img.spacing == pytest.approx((1.0, 2.0, 3.0))
+    np.testing.assert_allclose(np.diag(img.affine)[:3], (1, 2, 3))
+
+
+def test_nifti_scl_slope(tmp_path, rng):
+    """scl_slope/inter scaling is applied on load."""
+    import struct
+    data = rng.integers(0, 50, size=(4, 4, 4)).astype(np.int16)
+    p = str(tmp_path / "v.nii")
+    nifti.save(p, data)
+    with open(p, "r+b") as f:
+        f.seek(112)
+        f.write(struct.pack("<ff", 2.0, 10.0))   # slope=2, inter=10
+    img = nifti.load(p)
+    np.testing.assert_allclose(img.data, data * 2.0 + 10.0)
+
+
+# ---------------- synthetic generators ----------------
+
+def test_create_synthetic_data(tmp_path):
+    paths = create_synthetic_data(3, str(tmp_path / "raw"), shape=SMALL)
+    assert len(paths) == 3
+    v = np.load(paths[0])
+    assert v.shape == SMALL and v.dtype == np.float32
+    assert 0.0 <= v.min() and v.max() <= 1.0
+
+
+def test_synthesize_volume_labels():
+    vol, seg = synthesize_volume(SMALL, seed=0)
+    assert vol.shape == SMALL and seg.shape == SMALL
+    assert set(np.unique(seg)) <= {0, 1, 2, 3}
+    assert (seg > 0).any()
+
+
+@pytest.mark.parametrize("fmt", ["nii.gz", "npy"])
+def test_enhanced_synthetic_layout(tmp_path, fmt):
+    d = create_enhanced_synthetic_data(
+        5, str(tmp_path / "BraTS"), shape=SMALL, fmt=fmt, seed=1)
+    train = BraTS2024Dataset(d, mode="train")
+    val = BraTS2024Dataset(d, mode="val")
+    assert len(train) == 4 and len(val) == 1   # 80/20 split
+    item = train[0]
+    assert item["image"].shape == (*SMALL, 4)
+    assert item["mask"].shape == SMALL
+    # raw BraTS labels on disk include 4, never 3
+    labels = set(np.unique(item["mask"]))
+    assert 3 not in labels and labels <= {0, 1, 2, 4}
+
+
+def test_dataset_cache_serves_hits(tmp_path):
+    """Reference bug (training.py:77-113): cache stops serving once full."""
+    d = create_enhanced_synthetic_data(2, str(tmp_path / "B"), shape=SMALL,
+                                       seed=2)
+    ds = BraTS2024Dataset(d, mode="train", cache_size=1)
+    a1 = ds[0]
+    a2 = ds[0]
+    assert a1 is a2          # identity => cache hit even at capacity
+
+
+# ---------------- preprocessing ----------------
+
+def test_preprocess_image_chain(rng):
+    vol = jnp.asarray(rng.normal(10, 5, SMALL).astype(np.float32))
+    out = preprocess_image(vol, out_size=(16, 16, 16))
+    assert out.shape == (16, 16, 16)
+    # z-scored: near-zero mean; trilinear downsampling of noise shrinks std
+    assert abs(float(out.mean())) < 0.3
+    assert 0.2 < float(out.std()) < 1.5
+
+
+def test_preprocess_segmentation_remap():
+    seg = jnp.asarray(np.array([[[0, 1], [2, 4]]], np.uint8))
+    out = preprocess_segmentation(seg, out_size=(1, 2, 2))
+    assert set(np.unique(np.asarray(out))) <= {0, 1, 2, 3}
+    assert np.asarray(out)[0, 1, 1] == 3    # 4 -> 3
+
+
+def test_preprocess_batch_augment_deterministic(rng):
+    imgs = jnp.asarray(rng.normal(size=(2, *SMALL, 4)).astype(np.float32))
+    segs = jnp.asarray(rng.integers(0, 5, size=(2, *SMALL)).astype(np.int32))
+    k = jax.random.PRNGKey(7)
+    b1 = preprocess_batch(imgs, segs, k, out_size=(16, 16, 16),
+                          augment=True)
+    b2 = preprocess_batch(imgs, segs, k, out_size=(16, 16, 16),
+                          augment=True)
+    np.testing.assert_array_equal(np.asarray(b1["image"]),
+                                  np.asarray(b2["image"]))
+    assert b1["image"].shape == (2, 16, 16, 16, 4)
+    assert b1["mask"].shape == (2, 16, 16, 16)
+    # different key => different augmentation
+    b3 = preprocess_batch(imgs, segs, jax.random.PRNGKey(8),
+                          out_size=(16, 16, 16), augment=True)
+    assert not np.array_equal(np.asarray(b1["image"]),
+                              np.asarray(b3["image"]))
+
+
+# ---------------- loaders ----------------
+
+def test_device_data_loader_e2e(tmp_path):
+    d = create_enhanced_synthetic_data(5, str(tmp_path / "B"), shape=SMALL,
+                                       seed=3)
+    train, val = create_brats_data_loaders(
+        d, batch_size=2, num_workers=2, image_size=(16, 16, 16))
+    assert len(train) == 2      # 4 samples, drop_last
+    batches = list(iter(train))
+    assert len(batches) == 2
+    b = batches[0]
+    assert isinstance(b["image"], jax.Array)
+    assert b["image"].shape == (2, 16, 16, 16, 4)
+    assert b["mask"].dtype == jnp.int32
+    assert int(b["mask"].max()) <= 3    # remapped on device
+    vb = list(iter(val))
+    assert len(vb) == 1 and vb[0]["image"].shape[0] == 1
+
+
+def test_brain_tumor_dataset_single_file(tmp_path, rng):
+    p = str(tmp_path / "vol.nii.gz")
+    nifti.save(p, rng.normal(size=(10, 12, 8)).astype(np.float32))
+    ds = BrainTumorDataset([p], target_size=(16, 16, 16))
+    item = ds[0]
+    assert item["image"].shape == (16, 16, 16)
+    assert float(item["image"].min()) >= 0.0
+    assert float(item["image"].max()) <= 1.0 + 1e-6
+    assert not item["segmentation"].any()
+    assert item["path"] == p
