@@ -136,6 +136,8 @@ def hausdorff_distance(pred: ArrayLike, target: ArrayLike,
     t = np.asarray(target) > 0.5
     if not p.any() or not t.any():
         return float("inf")
+    if len(tuple(spacing)) != p.ndim:
+        spacing = (1.0,) * p.ndim   # e.g. batched masks: isotropic default
     d_t = _edt(t, spacing)[p]      # distances from pred surface to target
     d_p = _edt(p, spacing)[t]
     if percentile >= 100.0:

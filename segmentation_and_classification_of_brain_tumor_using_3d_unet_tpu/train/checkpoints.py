@@ -1,0 +1,94 @@
+"""Orbax checkpointing: save-on-best + resume.
+
+Parity with the reference's ``torch.save`` dict of model/optimizer/
+scheduler state + best_dice + metrics history (``training.py:396-404``,
+resume at ``train_model.py:185-190``), re-done as an Orbax pytree
+checkpoint (async-safe, TPU-host friendly) plus a JSON sidecar for
+human-readable metrics history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+_META = "trainer_meta.json"
+
+
+def _ckpt_dir(path: str) -> str:
+    return os.path.abspath(path)
+
+
+def save_checkpoint(path: str, state: TrainState,
+                    best_dice: float = 0.0, epoch: int = 0,
+                    metrics_history: Optional[Dict[str, Any]] = None
+                    ) -> str:
+    """Write state pytree + metadata. ``path`` is a directory."""
+    path = _ckpt_dir(path)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(os.path.join(path, "state")):
+        import shutil
+        shutil.rmtree(os.path.join(path, "state"))
+    ckptr.save(os.path.join(path, "state"), payload)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump({
+            "best_dice": float(best_dice),
+            "epoch": int(epoch),
+            "metrics_history": metrics_history or {},
+        }, f, indent=2)
+    return path
+
+
+def restore_checkpoint(path: str, state: TrainState
+                       ) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore into the structure of ``state``; returns (state, meta)."""
+    path = _ckpt_dir(path)
+    target = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.join(path, "state"), target)
+    state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=restored["step"])
+    meta: Dict[str, Any] = {"best_dice": 0.0, "epoch": 0,
+                            "metrics_history": {}}
+    meta_path = os.path.join(path, _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta.update(json.load(f))
+    return state, meta
+
+
+def save_params_only(path: str, params) -> str:
+    """Export inference weights (the ``.pth``-analog for the web app)."""
+    path = _ckpt_dir(path)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, {"params": params})
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_params_only(path: str, params_like):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_ckpt_dir(path),
+                         {"params": params_like})["params"]

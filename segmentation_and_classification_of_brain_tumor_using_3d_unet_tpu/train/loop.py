@@ -1,0 +1,109 @@
+"""jitted train / eval steps (single-device and mesh-sharded).
+
+One XLA program per step: forward (bf16) + deep-supervision combined loss
++ backward + AdamW update + on-device Dice. Replaces the reference's
+autocast/GradScaler loop body (``training.py:286-315``). With a mesh, the
+same step is compiled with batch-sharded inputs and replicated params —
+XLA turns the gradient reduction into a psum over ICI (SPMD data
+parallelism, BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..losses import combined_loss, deep_supervision_loss
+from ..metrics import mean_foreground_dice
+from .state import TrainState
+
+
+def make_loss_fn(config: Config) -> Callable:
+    lw = (config.loss.dice_weight, config.loss.ce_weight,
+          config.loss.focal_weight)
+    base = functools.partial(
+        combined_loss, weights=lw, focal_alpha=config.loss.focal_alpha,
+        focal_gamma=config.loss.focal_gamma)
+
+    def loss_fn(out: Dict[str, Any], targets):
+        if config.loss.use_deep_supervision and out["deep"]:
+            return deep_supervision_loss(
+                out["logits"], out["deep"], targets,
+                config.loss.deep_supervision_weights, base)
+        return base(out["logits"], targets)
+
+    return loss_fn
+
+
+def make_train_step(config: Config, num_classes: int = 4,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Returns ``step(state, batch, key) -> (state, metrics)``, jitted."""
+    loss_fn = make_loss_fn(config)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array],
+             key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        images, targets = batch["image"], batch["mask"]
+
+        def compute_loss(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": key})
+            return loss_fn(out, targets), (mutated["batch_stats"],
+                                           out["logits"])
+
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        metrics = {
+            "loss": loss,
+            "dice": mean_foreground_dice(logits, targets, num_classes),
+        }
+        return new_state, metrics
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+        bs, rep = batch_sharding(mesh), replicated(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, {"image": bs, "mask": bs}, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(config: Config, num_classes: int = 4,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Returns ``eval_step(state, batch) -> metrics`` (loss, dice,
+    per-class argmax labels for host-side Hausdorff)."""
+    loss_fn = make_loss_fn(config)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]
+             ) -> Dict[str, jax.Array]:
+        images, targets = batch["image"], batch["mask"]
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        loss = loss_fn(out, targets)
+        labels = jnp.argmax(out["logits"], axis=-1)
+        return {
+            "loss": loss,
+            "dice": mean_foreground_dice(labels, targets, num_classes),
+            "pred_labels": labels,
+        }
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+        bs, rep = batch_sharding(mesh), replicated(mesh)
+        return jax.jit(step,
+                       in_shardings=(rep, {"image": bs, "mask": bs}),
+                       out_shardings={"loss": rep, "dice": rep,
+                                      "pred_labels": bs})
+    return jax.jit(step)

@@ -1,0 +1,139 @@
+"""Trainer tests: SGDR schedule parity vs torch, end-to-end tiny training,
+checkpoint save/resume round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu import (
+    config as cfg_mod, models)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+    create_brats_data_loaders, create_enhanced_synthetic_data)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+    ModernBrainTumorTrainer, cosine_warm_restarts, create_train_state,
+    make_eval_step, make_train_step, restore_checkpoint, save_checkpoint)
+
+SMALL = (24, 24, 16)
+IMG = (16, 16, 16)
+FEATS = (8, 16)
+
+
+def tiny_config(**kw):
+    import dataclasses
+    c = cfg_mod.Config()
+    c = c.replace(
+        model=dataclasses.replace(c.model, features=FEATS,
+                                  compute_dtype="float32", remat=False),
+        data=dataclasses.replace(c.data, image_size=IMG),
+        use_tensorboard=False, **kw)
+    return c
+
+
+def test_sgdr_schedule_matches_torch():
+    """Schedule parity with CosineAnnealingWarmRestarts(T_0=10, T_mult=2,
+    eta_min=1e-6) stepped per epoch (reference training.py:195-197)."""
+    import torch
+    base_lr = 1e-4
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(m.parameters(), lr=base_lr)
+    sch = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=10, T_mult=2, eta_min=1e-6)
+    ours = cosine_warm_restarts(base_lr, 10, 2, 1e-6, steps_per_epoch=1)
+    for epoch in range(70):
+        want = opt.param_groups[0]["lr"]
+        got = float(ours(epoch))
+        assert got == pytest.approx(want, rel=1e-5), f"epoch {epoch}"
+        sch.step()
+
+
+def test_sgdr_tmult1():
+    ours = cosine_warm_restarts(1e-3, 5, 1, 1e-6, steps_per_epoch=1)
+    assert float(ours(0)) == pytest.approx(1e-3)
+    assert float(ours(5)) == pytest.approx(1e-3)     # restart
+    assert float(ours(4)) < float(ours(3))           # decaying
+
+
+@pytest.fixture(scope="module")
+def brats_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("brats")
+    return create_enhanced_synthetic_data(5, str(d), shape=SMALL, seed=5)
+
+
+def test_train_step_runs_and_learns(brats_dir):
+    cfg = tiny_config()
+    train_loader, _ = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    batch = next(iter(train_loader))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    step = make_train_step(cfg, mesh=None, donate=False)
+    losses = []
+    for i in range(6):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]          # optimizes on a fixed batch
+    ev = make_eval_step(cfg)(state, batch)
+    assert np.isfinite(float(ev["loss"]))
+    assert ev["pred_labels"].shape == batch["mask"].shape
+
+
+def test_trainer_end_to_end(brats_dir, tmp_path):
+    cfg = tiny_config(
+        models_dir=str(tmp_path / "models"),
+        results_dir=str(tmp_path / "results"),
+        epochs=2)
+    train_loader, val_loader = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    trainer = ModernBrainTumorTrainer(
+        model, learning_rate=1e-3, experiment_name="pytest_run",
+        config=cfg, hausdorff_every=1)
+    history = trainer.train(train_loader, val_loader, num_epochs=2)
+    assert len(history["train_loss"]) == 2
+    assert len(history["val_dice"]) == 2
+    assert all(np.isfinite(history["train_loss"]))
+    # best checkpoint written
+    assert os.path.isdir(trainer._ckpt_path())
+    # report artifacts
+    report = trainer.generate_training_report()
+    assert report and os.path.exists(report)
+
+
+def test_checkpoint_roundtrip(brats_dir, tmp_path):
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4))
+    path = str(tmp_path / "ckpt")
+    os.makedirs(path, exist_ok=True)
+    save_checkpoint(path, state, best_dice=0.5, epoch=3,
+                    metrics_history={"train_loss": [1.0]})
+    state2 = create_train_state(model, cfg, jax.random.PRNGKey(1),
+                                (1, *IMG, 4))
+    restored, meta = restore_checkpoint(path, state2)
+    assert meta["best_dice"] == 0.5 and meta["epoch"] == 3
+    l1 = jax.tree_util.tree_leaves(state.params)
+    l2 = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_metric_shims(rng):
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    tr = ModernBrainTumorTrainer(model, config=cfg)
+    logits = rng.normal(size=(1, 8, 8, 8, 4)).astype(np.float32)
+    targets = rng.integers(0, 4, size=(1, 8, 8, 8))
+    d = tr.calculate_dice_score(logits, targets)
+    assert 0.0 <= d <= 1.0
+    hd = tr.calculate_hausdorff_distance(logits, targets)
+    assert hd > 0.0   # finite or inf, but a real number — never a stub
