@@ -1,0 +1,144 @@
+"""High-level inference: segmentation + tumor-grade classification.
+
+Parity with the reference helpers that its Flask app defines but never
+wires to a route (``main.py:356-425`` — SURVEY.md behavioral caveat):
+here they are real, jitted, and used by the serving layer.
+
+Two segmentation paths:
+  * ``whole_volume``: zoom to model size, forward once — the reference's
+    semantics (``main.py:382-398``);
+  * ``sliding_window``: Gaussian-blended full-resolution inference (the
+    north-star addition).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLASS_NAMES, Config
+from ..data.preprocess import preprocess_image as _pre_chain
+from ..models import BrainTumorClassifier, UNet3D
+from ..ops.resize import resize_nearest, resize_trilinear
+from .sliding_window import make_sw_predictor
+
+Array = jax.Array
+
+
+class Predictor:
+    """Owns a UNet3D + classifier and their weights."""
+
+    def __init__(self, config: Optional[Config] = None,
+                 seg_model: Optional[UNet3D] = None,
+                 cls_model: Optional[BrainTumorClassifier] = None,
+                 seg_variables=None, cls_variables=None,
+                 seed: int = 0):
+        self.config = config or Config()
+        mc = self.config.model
+        dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else (
+            jnp.float32)
+        self.seg_model = seg_model or UNet3D(
+            out_channels=mc.out_channels, features=mc.features,
+            dropout_rate=mc.dropout_rate, dtype=dtype, remat=mc.remat)
+        self.cls_model = cls_model or BrainTumorClassifier(
+            num_classes=4, dtype=dtype)
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        size = self.config.data.image_size
+        if seg_variables is None:
+            seg_variables = self.seg_model.init(
+                k1, jnp.zeros((1, *size, mc.in_channels)), train=False)
+        if cls_variables is None:
+            cls_variables = self.cls_model.init(
+                k2, jnp.zeros((1, *size, 4)), train=False)
+        self.seg_variables = seg_variables
+        self.cls_variables = cls_variables
+
+        ic = self.config.inference
+        self._sw = make_sw_predictor(
+            self.seg_model, self.seg_variables, roi_size=ic.roi_size,
+            overlap=ic.overlap, sw_batch_size=ic.sw_batch_size,
+            blend_mode=ic.blend_mode, sigma_scale=ic.gaussian_sigma_scale)
+        self._whole = jax.jit(self._whole_volume_logits)
+        self._classify = jax.jit(self._classify_logits)
+
+    # -------------------- segmentation --------------------
+
+    def _whole_volume_logits(self, volume: Array) -> Array:
+        """Reference semantics: resize -> single forward -> logits at the
+        input resolution (``main.py:386-395``)."""
+        size = self.config.data.image_size
+        x = resize_trilinear(volume[None], size)
+        out = self.seg_model.apply(self.seg_variables, x, train=False)
+        logits = out["logits"]
+        return resize_trilinear(logits, volume.shape[:3])[0]
+
+    def segment_tumor(self, volume: np.ndarray,
+                      mode: str = "sliding_window") -> np.ndarray:
+        """Volume (D,H,W) or (D,H,W,C) -> int8 label map at input res."""
+        vol = jnp.asarray(volume, jnp.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        want_c = self.config.model.in_channels
+        if vol.shape[-1] != want_c:
+            vol = jnp.repeat(vol[..., :1], want_c, axis=-1)
+        if mode == "sliding_window":
+            logits = self._sw(vol)
+        else:
+            logits = self._whole(vol)
+        return np.asarray(jnp.argmax(logits, axis=-1), np.int8)
+
+    # -------------------- classification --------------------
+
+    def _classify_logits(self, volume: Array) -> Array:
+        size = self.config.data.image_size
+        x = resize_trilinear(volume[None], size)
+        return self.cls_model.apply(self.cls_variables, x, train=False)
+
+    def classify_tumor(self, volume: np.ndarray,
+                       segmentation: Optional[np.ndarray] = None
+                       ) -> Tuple[str, float]:
+        """(type_name, confidence). Mirrors the reference contract
+        (``main.py:400-425``): no-tumor segmentations short-circuit to
+        'No Tumor Detected'; single-modality volumes are stacked x4."""
+        if segmentation is not None and not (np.asarray(segmentation) > 0
+                                             ).any():
+            return "No Tumor Detected", 0.95
+        vol = jnp.asarray(volume, jnp.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        if vol.shape[-1] != 4:
+            vol = jnp.repeat(vol[..., :1], 4, axis=-1)
+        logits = self._classify(vol)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+        idx = int(np.argmax(probs))
+        return CLASS_NAMES[idx], float(probs[idx])
+
+    # -------------------- weights --------------------
+
+    def load_seg_params(self, params) -> None:
+        self.seg_variables = {**self.seg_variables, "params": params}
+        ic = self.config.inference
+        self._sw = make_sw_predictor(
+            self.seg_model, self.seg_variables, roi_size=ic.roi_size,
+            overlap=ic.overlap, sw_batch_size=ic.sw_batch_size,
+            blend_mode=ic.blend_mode, sigma_scale=ic.gaussian_sigma_scale)
+        self._whole = jax.jit(self._whole_volume_logits)
+
+
+def preprocess_image(path_or_array, target_size=(128, 128, 128)
+                     ) -> np.ndarray:
+    """File/array -> normalized (D,H,W) float32 at target size (reference
+    ``main.py:356-380``: NIfTI via codec, 2D images stacked, z-score,
+    zoom)."""
+    from ..data.dataset import load_any_volume, _zoom_to
+    vol = (load_any_volume(path_or_array)
+           if isinstance(path_or_array, str) else
+           np.asarray(path_or_array, np.float32))
+    out = np.asarray(_pre_chain(jnp.asarray(vol), tuple(target_size)))
+    return out.astype(np.float32)
