@@ -1,0 +1,94 @@
+"""Headline benchmark: full-volume Gaussian sliding-window inference.
+
+Metric (BASELINE.json): volumes/sec/chip segmenting full 240x240x155
+4-modality MRI volumes with the flagship attention-gated residual UNet3D
+(bf16, Gaussian-blended sliding window). ``vs_baseline`` is the ratio to
+the 20 volumes/sec/chip north-star target.
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+VOLUME_SHAPE = (240, 240, 155)
+TARGET = 20.0   # volumes/sec/chip north star (BASELINE.json)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--overlap", type=float, default=0.125)
+    ap.add_argument("--sw_batch", type=int, default=2)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.sliding_window import (
+        sliding_window_inference)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+
+    model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False)
+    x_init = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x_init, train=False)
+
+    def apply_fn(v, patches):
+        return model.apply(v, patches, train=False)["logits"]
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(
+        rng.normal(size=(*VOLUME_SHAPE, 4)).astype(np.float32))
+
+    def run(v, vol):
+        logits = sliding_window_inference(
+            v, vol, apply_fn, roi_size=(128, 128, 128),
+            overlap=args.overlap, sw_batch_size=args.sw_batch,
+            blend_mode="gaussian", out_channels=4)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+
+    jrun = jax.jit(run)
+    t0 = time.time()
+    seg = jax.block_until_ready(jrun(variables, vol))
+    compile_s = time.time() - t0
+    # force full execution + readback sync each iter
+    _ = int(jnp.sum(seg.astype(jnp.int32)))
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        seg = jrun(variables, vol)
+        _ = int(jnp.sum(seg.astype(jnp.int32)))   # host sync
+        times.append(time.time() - t0)
+    per_vol = float(np.median(times))
+    vps = 1.0 / per_vol
+
+    if args.verbose:
+        print(f"# compile {compile_s:.1f}s; times {times}",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "volumes/sec/chip (240x240x155 sliding-window "
+                  "inference, UNet3D bf16)",
+        "value": round(vps, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vps / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,11 +50,15 @@ class Predictor:
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         size = self.config.data.image_size
+        jinit_seg = jax.jit(self.seg_model.init,
+                            static_argnames=("train",))
+        jinit_cls = jax.jit(self.cls_model.init,
+                            static_argnames=("train",))
         if seg_variables is None:
-            seg_variables = self.seg_model.init(
+            seg_variables = jinit_seg(
                 k1, jnp.zeros((1, *size, mc.in_channels)), train=False)
         if cls_variables is None:
-            cls_variables = self.cls_model.init(
+            cls_variables = jinit_cls(
                 k2, jnp.zeros((1, *size, 4)), train=False)
         self.seg_variables = seg_variables
         self.cls_variables = cls_variables
@@ -92,6 +96,24 @@ class Predictor:
         else:
             logits = self._whole(vol)
         return np.asarray(jnp.argmax(logits, axis=-1), np.int8)
+
+    def segment_with_confidence(self, volume: np.ndarray,
+                                mode: str = "whole_volume"
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+        """(labels int8, per-voxel max-softmax confidence float32)."""
+        vol = jnp.asarray(volume, jnp.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        want_c = self.config.model.in_channels
+        if vol.shape[-1] != want_c:
+            vol = jnp.repeat(vol[..., :1], want_c, axis=-1)
+        logits = self._sw(vol) if mode == "sliding_window" else (
+            self._whole(vol))
+        probs = jax.nn.softmax(logits, axis=-1)
+        labels = jnp.argmax(probs, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        return (np.asarray(labels, np.int8),
+                np.asarray(conf, np.float32))
 
     # -------------------- classification --------------------
 

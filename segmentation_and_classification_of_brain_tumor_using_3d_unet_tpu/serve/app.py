@@ -1,0 +1,372 @@
+"""Web serving tier — stdlib HTTP server, no Flask dependency.
+
+Same route surface and JSON contracts as the reference Flask app
+(``main.py:710-910``), with the headline fix that ``/upload`` runs REAL
+TPU inference (the reference routes every upload through
+``simulate_brain_tumor_analysis``, ``main.py:848``) and ``/stop_training``
+actually stops the session (the reference's is a no-op ack,
+``main.py:756-763``). ``/generate_synthetic_data`` really generates data
+(reference stub only logs, ``main.py:804-826``).
+
+Demo-mode degradation is preserved as an explicit option: a synthetic
+analysis path used when requested (``demo=1``) or when decoding/inference
+fails (reference's ubiquitous try/except->demo contract).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import re
+import threading
+import time
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..config import Config
+from . import templates
+from .jobs import training_manager
+from .reports import calculate_medical_metrics, generate_clinical_report
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# minimal multipart/form-data parser (stdlib only)
+# ---------------------------------------------------------------------------
+
+def parse_multipart(body: bytes, content_type: str) -> Dict[str, Dict]:
+    """Returns {field: {'filename': str|None, 'data': bytes}}."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("no multipart boundary")
+    boundary = m.group(1).encode()
+    parts = body.split(b"--" + boundary)
+    out: Dict[str, Dict] = {}
+    for part in parts:
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        head, data = part.split(b"\r\n\r\n", 1)
+        headers = head.decode("utf-8", "replace")
+        name_m = re.search(r'name="([^"]*)"', headers)
+        file_m = re.search(r'filename="([^"]*)"', headers)
+        if not name_m:
+            continue
+        out[name_m.group(1)] = {
+            "filename": file_m.group(1) if file_m else None,
+            "data": data,
+        }
+    return out
+
+
+def secure_filename(name: str) -> str:
+    name = os.path.basename(name.replace("\\", "/"))
+    name = re.sub(r"[^A-Za-z0-9._-]", "_", name)
+    return name or "upload"
+
+
+# ---------------------------------------------------------------------------
+# application
+# ---------------------------------------------------------------------------
+
+class BrainTumorApp:
+    """Holds models + job manager; route logic lives here so it can be
+    tested without sockets."""
+
+    def __init__(self, config: Optional[Config] = None,
+                 upload_dir: str = "uploads",
+                 lazy_models: bool = True,
+                 predictor=None):
+        self.config = config or Config()
+        self.upload_dir = upload_dir
+        os.makedirs(upload_dir, exist_ok=True)
+        self._predictor = predictor
+        self._predictor_lock = threading.Lock()
+        if not lazy_models and self._predictor is None:
+            self._get_predictor()
+
+    def _get_predictor(self):
+        with self._predictor_lock:
+            if self._predictor is None:
+                from ..inference.predictor import Predictor
+                logger.info("initializing models on %s",
+                            _device_label())
+                self._predictor = Predictor(self.config)
+            return self._predictor
+
+    # ------------------------- routes -------------------------
+
+    def route(self, method: str, path: str, query: Dict,
+              body: bytes, headers: Dict) -> Tuple[int, str, str]:
+        """Dispatch; returns (status, content_type, payload)."""
+        try:
+            if method == "GET":
+                if path == "/":
+                    return 200, "text/html", templates.index_page()
+                if path == "/metrics":
+                    return 200, "text/html", templates.metrics_page(
+                        self.model_info())
+                if path == "/documentation":
+                    return 200, "text/html", templates.documentation_page()
+                if path == "/training_progress":
+                    return self._training_progress(query)
+                if path == "/health":
+                    return self._json({
+                        "status": "ok", "device": _device_label(),
+                        "models_loaded": self._predictor is not None,
+                        "sessions": training_manager.list_sessions(),
+                    })
+            if method == "POST":
+                if path == "/upload":
+                    return self._upload(body, headers)
+                if path == "/start_training":
+                    return self._start_training(body)
+                if path == "/stop_training":
+                    return self._stop_training(body)
+                if path == "/generate_synthetic_data":
+                    return self._generate_synthetic(body)
+            return 404, "application/json", json.dumps(
+                {"success": False, "error": f"no route {method} {path}"})
+        except Exception as e:
+            logger.error("route error: %s\n%s", e, traceback.format_exc())
+            return 500, "application/json", json.dumps({
+                "success": False, "error": str(e),
+                "demo_available": True,
+                "message": "Server analysis failed, but demo mode is "
+                           "available",
+            })
+
+    def model_info(self) -> Dict:
+        mc = self.config.model
+        return {
+            "device": _device_label(),
+            "architecture": "Attention-gated residual 3D U-Net "
+                            "(deep supervision)",
+            "features": str(tuple(mc.features)),
+            "compute dtype": mc.compute_dtype,
+            "inference": f"Gaussian sliding window "
+                         f"{self.config.inference.roi_size}, overlap "
+                         f"{self.config.inference.overlap}",
+        }
+
+    # ------------------------- helpers -------------------------
+
+    @staticmethod
+    def _json(obj, status: int = 200) -> Tuple[int, str, str]:
+        return status, "application/json", json.dumps(obj)
+
+    def _upload(self, body: bytes, headers: Dict) -> Tuple[int, str, str]:
+        ctype = headers.get("content-type", "")
+        fields = parse_multipart(body, ctype) if (
+            "multipart" in ctype) else {}
+        demo = fields.get("demo", {}).get("data", b"0") == b"1"
+        fobj = fields.get("file")
+        filename = "synthetic_demo.nii"
+        filepath = None
+        ts = time.strftime("%Y%m%d_%H%M%S")
+
+        try:
+            if fobj and fobj.get("filename"):
+                filename = fobj["filename"]
+                filepath = os.path.join(
+                    self.upload_dir, f"{ts}_{secure_filename(filename)}")
+                with open(filepath, "wb") as f:
+                    f.write(fobj["data"])
+
+            analysis = self._analyze(filepath, demo)
+            payload = {
+                "success": True,
+                "patient_info": {
+                    "study_id": f"STU_{ts}",
+                    "series_id": "SER_001",
+                    "scan_date": time.strftime("%Y-%m-%d"),
+                    "filename": filename,
+                },
+                **analysis,
+            }
+            return self._json(payload)
+        finally:
+            if filepath and os.path.exists(filepath):
+                os.remove(filepath)
+
+    def _analyze(self, filepath: Optional[str], demo: bool) -> Dict:
+        """Upload pipeline: decode -> preprocess -> segment (+confidence)
+        -> classify -> metrics -> visualizations -> clinical report."""
+        from ..data.synthetic import synthesize_volume
+        from ..utils.visualization import ModernMedicalVisualizer
+
+        size = self.config.data.image_size
+        vol = None
+        cls_conf = None
+        if filepath and not demo:
+            try:
+                from ..inference.predictor import preprocess_image
+                vol = preprocess_image(filepath, size)
+                predictor = self._get_predictor()
+                seg, conf = predictor.segment_with_confidence(
+                    vol, mode="whole_volume")
+                cls_name, cls_conf = predictor.classify_tumor(vol, seg)
+                quality_conf = conf
+                degraded = False
+            except Exception as e:
+                logger.warning("real inference failed (%s); falling back "
+                               "to demo analysis", e)
+                vol = None
+        if vol is None:   # demo / degraded path — explicit, synthetic
+            vol, seg = synthesize_volume(size, seed=0)
+            quality_conf = None
+            cls_name = None
+            degraded = True
+
+        metrics = calculate_medical_metrics(
+            vol, seg,
+            confidence_map=None if degraded else quality_conf)
+        report = generate_clinical_report(
+            metrics, filename=filepath or "demo",
+            classifier_confidence=cls_conf)
+
+        viz = ModernMedicalVisualizer()
+        visualizations = {
+            "multiplanar": viz.create_segmentation_overlay(vol, seg),
+            "analysis": viz.create_volume_analysis_dashboard(vol, seg),
+            "visualization_3d": viz.create_3d_tumor_reconstruction(seg),
+        }
+        if cls_name is not None:
+            report["classification"]["model_classification"] = cls_name
+        return {
+            "classification": report["classification"],
+            "measurements": report["measurements"],
+            "quality_metrics": report["quality_metrics"],
+            "clinical_notes": report["clinical_notes"],
+            "visualizations": visualizations,
+            "degraded_mode": degraded,
+        }
+
+    def _start_training(self, body: bytes) -> Tuple[int, str, str]:
+        try:
+            cfg = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            return self._json({"success": False,
+                               "error": "invalid JSON"}, 400)
+        session_id = training_manager.start_training_session(cfg)
+        return self._json({
+            "success": True, "session_id": session_id,
+            "message": "Training started successfully",
+        })
+
+    def _stop_training(self, body: bytes) -> Tuple[int, str, str]:
+        try:
+            cfg = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            cfg = {}
+        sid = cfg.get("session_id")
+        ok = training_manager.stop_training_session(sid) if sid else False
+        return self._json({
+            "success": True,
+            "stopped": ok,
+            "message": "Training stopped" if ok else
+                       "No such session; nothing to stop",
+        })
+
+    def _training_progress(self, query: Dict) -> Tuple[int, str, str]:
+        sid = (query.get("session_id") or ["demo"])[0]
+        progress = training_manager.get_training_progress(sid)
+        if progress is None:
+            return self._json({"status": "not_found",
+                               "error": f"unknown session {sid}"}, 404)
+        return self._json(progress)
+
+    def _generate_synthetic(self, body: bytes) -> Tuple[int, str, str]:
+        from ..data.synthetic import create_enhanced_synthetic_data
+        try:
+            cfg = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            cfg = {}
+        n = int(cfg.get("num_samples", 100))
+        out_dir = cfg.get("save_dir", os.path.join(
+            self.config.data_dir, "synthetic", "BraTS2024"))
+        shape = tuple(cfg.get("shape", (96, 96, 64)))
+        create_enhanced_synthetic_data(n, out_dir, shape=shape)
+        return self._json({
+            "success": True, "num_samples": n, "save_dir": out_dir,
+            "message": f"Generated {n} synthetic BraTS samples",
+        })
+
+
+def _device_label() -> str:
+    try:
+        import jax
+        d = jax.devices()[0]
+        return f"{d.platform}:{d.device_kind}"
+    except Exception:
+        return "unavailable"
+
+
+# ---------------------------------------------------------------------------
+# HTTP plumbing
+# ---------------------------------------------------------------------------
+
+def make_handler(app: BrainTumorApp):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.address_string(), *args)
+
+        def _serve(self, method):
+            parsed = urlparse(self.path)
+            query = parse_qs(parsed.query)
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            headers = {k.lower(): v for k, v in self.headers.items()}
+            status, ctype, payload = app.route(
+                method, parsed.path, query, body, headers)
+            data = payload.encode() if isinstance(payload, str) else payload
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            self._serve("GET")
+
+        def do_POST(self):
+            self._serve("POST")
+
+    return Handler
+
+
+def create_server(host: str = "0.0.0.0", port: int = 5000,
+                  config: Optional[Config] = None,
+                  app: Optional[BrainTumorApp] = None
+                  ) -> ThreadingHTTPServer:
+    app = app or BrainTumorApp(config)
+    server = ThreadingHTTPServer((host, port), make_handler(app))
+    server.app = app   # type: ignore[attr-defined]
+    return server
+
+
+def main(host: str = "0.0.0.0", port: int = 5000):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    server = create_server(host, port)
+    print("=" * 60)
+    print("Brain Tumor Segmentation System (TPU-native)")
+    print(f"Serving at http://{host}:{port}")
+    print("=" * 60)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nServer stopped by user")
+
+
+if __name__ == "__main__":
+    main()

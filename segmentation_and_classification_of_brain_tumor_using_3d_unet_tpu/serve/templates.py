@@ -1,0 +1,200 @@
+"""HTML templates for the web tier, generated server-side.
+
+Functional re-design of the reference's Jinja templates
+(``templates/index.html`` / ``metrics.html`` / ``documentation.html``):
+the same three pages, the same fetch endpoints and polling protocol
+(upload -> /upload; training panel -> /start_training, /training_progress
+every 2s, /stop_training; /generate_synthetic_data), written compactly
+from scratch.
+"""
+
+_BASE_CSS = """
+body{font-family:system-ui,sans-serif;margin:0;background:#f4f6f8;color:#222}
+header{background:#1f2a38;color:#fff;padding:14px 28px}
+header a{color:#9ecbff;margin-right:18px;text-decoration:none}
+main{max-width:1000px;margin:24px auto;padding:0 16px}
+.card{background:#fff;border-radius:10px;padding:20px;margin-bottom:18px;
+box-shadow:0 1px 4px rgba(0,0,0,.08)}
+button{background:#2d7ff9;color:#fff;border:0;border-radius:6px;
+padding:9px 18px;cursor:pointer;font-size:14px}
+button.stop{background:#d9534f}
+input,select{padding:6px;margin:4px 0;border:1px solid #ccc;border-radius:5px}
+pre{background:#0f1720;color:#c9e3ff;padding:12px;border-radius:8px;
+overflow:auto;max-height:260px}
+table{border-collapse:collapse}td,th{border:1px solid #ddd;padding:6px 10px}
+.metric{font-size:26px;font-weight:700;color:#2d7ff9}
+img.viz{max-width:100%;border-radius:8px;margin-top:10px}
+"""
+
+_HEADER = """
+<header><b>Brain Tumor Segmentation &amp; Classification — TPU</b>
+ &nbsp;&nbsp;<a href="/">Analyze</a><a href="/metrics">Metrics</a>
+<a href="/documentation">Documentation</a></header>
+"""
+
+
+def index_page() -> str:
+    return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>Brain Tumor Analysis (TPU)</title><style>{_BASE_CSS}</style></head>
+<body>{_HEADER}<main>
+
+<div class="card"><h2>Upload MRI scan</h2>
+<p>NIfTI (.nii/.nii.gz), NumPy (.npy) or 2D image. Runs real TPU
+inference: 3D U-Net segmentation + tumor-grade classification.</p>
+<input type="file" id="file">
+<label><input type="checkbox" id="demo"> demo mode (synthetic)</label>
+<button onclick="upload()">Analyze</button>
+<div id="status"></div><div id="results"></div></div>
+
+<div class="card"><h2>Training manager</h2>
+Epochs <input id="epochs" type="number" value="5" style="width:70px">
+Batch <input id="batch" type="number" value="2" style="width:60px">
+LR <input id="lr" value="0.0001" style="width:90px">
+Samples <input id="nsamp" type="number" value="8" style="width:70px">
+Arch <select id="arch"><option value="attention_unet">Attention U-Net
+</option><option value="attention_unet_full">Full (32..512)</option>
+</select>
+Mode <select id="mode"><option value="real">real</option>
+<option value="demo">demo</option></select>
+<button onclick="startTraining()">Start</button>
+<button class="stop" onclick="stopTraining()">Stop</button>
+<button onclick="genData()">Generate synthetic data</button>
+<div id="tstatus"></div><pre id="tlogs"></pre></div>
+
+<script>
+let sessionId = null, poller = null;
+async function upload() {{
+  const f = document.getElementById('file').files[0];
+  const demo = document.getElementById('demo').checked;
+  const fd = new FormData();
+  if (f) fd.append('file', f);
+  fd.append('demo', demo ? '1' : '0');
+  document.getElementById('status').textContent = 'Analyzing...';
+  const r = await fetch('/upload', {{method: 'POST', body: fd}});
+  const j = await r.json();
+  document.getElementById('status').textContent =
+      j.success ? 'Done' : ('Error: ' + j.error);
+  if (!j.success) return;
+  const el = document.getElementById('results');
+  el.innerHTML = `
+    <h3>${{j.classification.primary_diagnosis}}
+      (conf ${{(j.classification.confidence*100).toFixed(1)}}%,
+       risk ${{j.classification.risk_level}})</h3>
+    <table>
+    <tr><th>Tumor volume</th><td>${{j.measurements.tumor_volume}}</td></tr>
+    <tr><th>% of brain</th><td>${{j.measurements.tumor_percentage}}</td></tr>
+    <tr><th>Equivalent diameter</th>
+        <td>${{j.measurements.equivalent_diameter}}</td></tr>
+    <tr><th>Surface area</th><td>${{j.measurements.surface_area}}</td></tr>
+    <tr><th>Dice</th><td>${{j.quality_metrics.dice_coefficient}}</td></tr>
+    <tr><th>HD</th><td>${{j.quality_metrics.hausdorff_distance}}</td></tr>
+    </table>
+    <h4>Findings</h4><ul>${{
+      j.clinical_notes.findings.map(x=>'<li>'+x+'</li>').join('')}}</ul>
+    <h4>Recommendations</h4><ul>${{
+      j.clinical_notes.recommendations.map(x=>'<li>'+x+'</li>').join('')
+    }}</ul>
+    <img class="viz" src="${{j.visualizations.multiplanar}}">
+    <img class="viz" src="${{j.visualizations.analysis}}">`;
+}}
+async function startTraining() {{
+  const cfg = {{
+    epochs: +document.getElementById('epochs').value,
+    batch_size: +document.getElementById('batch').value,
+    learning_rate: +document.getElementById('lr').value,
+    num_samples: +document.getElementById('nsamp').value,
+    model_arch: document.getElementById('arch').value,
+    mode: document.getElementById('mode').value,
+    data_type: 'synthetic'
+  }};
+  const r = await fetch('/start_training', {{method:'POST',
+    headers: {{'Content-Type':'application/json'}},
+    body: JSON.stringify(cfg)}});
+  const j = await r.json();
+  if (!j.success) {{
+    document.getElementById('tstatus').textContent = 'Error: ' + j.error;
+    return;
+  }}
+  sessionId = j.session_id;
+  document.getElementById('tstatus').textContent =
+      'Session ' + sessionId + ' started';
+  if (poller) clearInterval(poller);
+  poller = setInterval(pollProgress, 2000);
+}}
+async function pollProgress() {{
+  if (!sessionId) return;
+  const r = await fetch('/training_progress?session_id=' + sessionId);
+  const p = await r.json();
+  document.getElementById('tstatus').innerHTML =
+    `status <b>${{p.status}}</b> — epoch ${{p.current_epoch}}/` +
+    `${{p.total_epochs}} — loss ${{p.train_loss}} — dice ` +
+    `${{p.dice_score}} (best ${{p.best_dice}})`;
+  document.getElementById('tlogs').textContent =
+      (p.logs || []).join('\\n');
+  if (['completed','error','stopped'].includes(p.status))
+      clearInterval(poller);
+}}
+async function stopTraining() {{
+  if (!sessionId) return;
+  await fetch('/stop_training', {{method:'POST',
+    headers: {{'Content-Type':'application/json'}},
+    body: JSON.stringify({{session_id: sessionId}})}});
+}}
+async function genData() {{
+  const r = await fetch('/generate_synthetic_data', {{method:'POST',
+    headers: {{'Content-Type':'application/json'}},
+    body: JSON.stringify({{num_samples:
+        +document.getElementById('nsamp').value}})}});
+  const j = await r.json();
+  document.getElementById('tstatus').textContent = j.message || j.error;
+}}
+</script></main></body></html>"""
+
+
+def metrics_page(model_info=None) -> str:
+    info = model_info or {}
+    rows = "".join(f"<tr><th>{k}</th><td>{v}</td></tr>"
+                   for k, v in info.items())
+    return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>Model Metrics</title><style>{_BASE_CSS}</style></head>
+<body>{_HEADER}<main>
+<div class="card"><h2>Segmentation performance (reference claims)</h2>
+<p>Dice <span class="metric">0.892</span> &nbsp;
+IoU <span class="metric">0.845</span></p>
+<p>Published figures of the upstream pipeline
+(reference templates/metrics.html); this deployment reports live
+metrics per analysis and per training session.</p></div>
+<div class="card"><h2>Classification performance (reference claims)</h2>
+<p>Accuracy <span class="metric">94.2%</span>
+Precision <span class="metric">91.8%</span>
+Recall <span class="metric">93.5%</span></p></div>
+<div class="card"><h2>Deployment</h2><table>{rows}</table></div>
+</main></body></html>"""
+
+
+def documentation_page() -> str:
+    return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>Documentation</title><style>{_BASE_CSS}</style></head>
+<body>{_HEADER}<main><div class="card">
+<h2>API</h2>
+<table>
+<tr><th>POST /upload</th><td>multipart file -> JSON analysis
+(classification, measurements, quality metrics, clinical notes,
+visualizations)</td></tr>
+<tr><th>POST /start_training</th><td>JSON {{epochs, batch_size,
+learning_rate, num_samples, model_arch, mode}} -> {{session_id}}</td></tr>
+<tr><th>GET /training_progress?session_id=</th>
+<td>status/epoch/losses/dice/logs</td></tr>
+<tr><th>POST /stop_training</th><td>JSON {{session_id}} -> ack
+(cooperative stop)</td></tr>
+<tr><th>POST /generate_synthetic_data</th><td>JSON {{num_samples}} ->
+writes a BraTS-layout synthetic cohort</td></tr>
+<tr><th>GET /health</th><td>device + model status</td></tr>
+</table>
+<h2>Stack</h2>
+<p>JAX/XLA on TPU; attention-gated residual 3D U-Net (bf16, NDHWC) with
+deep supervision; Gaussian sliding-window full-volume inference; Dice+
+CE+Focal (+Tversky/boundary) losses; Orbax checkpointing; SPMD data
+parallelism over a device mesh.</p>
+<p>Research use only — not a medical device.</p>
+</div></main></body></html>"""

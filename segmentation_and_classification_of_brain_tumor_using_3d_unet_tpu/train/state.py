@@ -82,7 +82,10 @@ def create_train_state(model, config: Config, rng: jax.Array,
                        learning_rate: Optional[float] = None) -> TrainState:
     """Initialize params (Kaiming via module initializers) + optimizer."""
     x = jnp.zeros(sample_shape, jnp.float32)
-    variables = model.init(rng, x, train=False)
+    # jit the init: eager tracing dispatches hundreds of tiny ops, which
+    # is pathologically slow over a remote-compile TPU attach.
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, x, train=False)
     tx = build_optimizer(config.optimizer, steps_per_epoch, learning_rate)
     return TrainState.create(
         apply_fn=model.apply,

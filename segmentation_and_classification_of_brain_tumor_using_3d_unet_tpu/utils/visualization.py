@@ -177,19 +177,18 @@ class ModernMedicalVisualizer:
     def create_3d_tumor_reconstruction(self, segmentation: np.ndarray,
                                        save_path: Optional[str] = None,
                                        min_voxels: int = 100) -> str:
-        """Marching-cubes per class -> plotly Mesh3d HTML (reference
-        ``utils/visualization.py:153-209``; skips classes < min_voxels)."""
-        from skimage import measure
+        """Per-class isosurface -> plotly Mesh3d HTML (capability parity
+        with reference ``utils/visualization.py:153-209``; skips classes
+        < min_voxels). Uses the native voxel-surface mesher."""
+        from .mesh import voxel_surface_mesh
         seg = np.asarray(segmentation)
         data = []
         for cls in (1, 2, 3):
             mask = seg == cls
             if mask.sum() < min_voxels:
                 continue
-            try:
-                verts, faces, _, _ = measure.marching_cubes(
-                    mask.astype(np.float32), level=0.5)
-            except (ValueError, RuntimeError):
+            verts, faces = voxel_surface_mesh(mask)
+            if len(faces) == 0:
                 continue
             data.append({
                 "type": "mesh3d",

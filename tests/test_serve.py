@@ -1,0 +1,217 @@
+"""Serving-layer tests: route contracts (JSON schemas of the reference
+app, main.py:710-910), multipart parsing, job manager state machine,
+clinical report generator."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve import (
+    BrainTumorApp, TrainingJobManager, calculate_medical_metrics,
+    generate_clinical_report)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve.app import (
+    parse_multipart, secure_filename)
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    import dataclasses
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import Predictor
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, features=(8, 16),
+                                  in_channels=1,
+                                  compute_dtype="float32", remat=False),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)),
+        inference=dataclasses.replace(cfg.inference,
+                                      roi_size=(16, 16, 16)))
+    up = str(tmp_path_factory.mktemp("uploads"))
+    return BrainTumorApp(cfg, upload_dir=up,
+                         predictor=Predictor(cfg))
+
+
+def _get(app, path, query=None):
+    return app.route("GET", path, query or {}, b"", {})
+
+
+def _post_json(app, path, obj):
+    return app.route("POST", path, {}, json.dumps(obj).encode(),
+                     {"content-type": "application/json"})
+
+
+def test_pages_render(app):
+    for path in ("/", "/metrics", "/documentation"):
+        status, ctype, payload = _get(app, path)
+        assert status == 200 and ctype == "text/html"
+        assert "<html" in payload
+    status, _, payload = _get(app, "/health")
+    assert status == 200 and json.loads(payload)["status"] == "ok"
+
+
+def test_404(app):
+    status, _, payload = _get(app, "/nope")
+    assert status == 404 and not json.loads(payload)["success"]
+
+
+def test_multipart_parser():
+    boundary = "XBOUND"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="demo"\r\n\r\n'
+        "1\r\n"
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; '
+        'filename="scan.nii"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + b"BINARY\x00DATA" + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(
+        body, f'multipart/form-data; boundary={boundary}')
+    assert fields["demo"]["data"] == b"1"
+    assert fields["file"]["filename"] == "scan.nii"
+    assert fields["file"]["data"] == b"BINARY\x00DATA"
+
+
+def test_secure_filename():
+    assert secure_filename("../../etc/passwd") == "passwd"
+    assert secure_filename("my scan (1).nii.gz") == "my_scan__1_.nii.gz"
+    assert secure_filename("") == "upload"
+
+
+def test_upload_demo_contract(app):
+    """Demo-mode upload returns the full reference JSON schema
+    (main.py:859-895)."""
+    boundary = "B123"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="demo"\r\n\r\n'
+            "1\r\n"
+            f"--{boundary}--\r\n").encode()
+    status, _, payload = app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert status == 200 and j["success"]
+    assert set(j) >= {"patient_info", "classification", "measurements",
+                      "quality_metrics", "clinical_notes",
+                      "visualizations"}
+    assert j["patient_info"]["study_id"].startswith("STU_")
+    assert "primary_diagnosis" in j["classification"]
+    assert j["visualizations"]["multiplanar"].startswith(
+        "data:image/png;base64,")
+    assert j["degraded_mode"] is True
+    assert j["quality_metrics"]["estimated"] is True
+
+
+def test_upload_real_inference(app, tmp_path, rng):
+    """A real .npy upload goes through actual model inference."""
+    vol = rng.normal(0.5, 0.2, (16, 16, 16)).astype(np.float32)
+    import io as _io
+    buf = _io.BytesIO()
+    np.save(buf, vol)
+    boundary = "B9"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="t.npy"\r\n\r\n').encode() + buf.getvalue() + (
+        f"\r\n--{boundary}--\r\n").encode()
+    status, _, payload = app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert j["success"]
+    assert j["degraded_mode"] is False
+    assert j["patient_info"]["filename"] == "t.npy"
+
+
+def test_training_jobs_demo_lifecycle():
+    mgr = TrainingJobManager()
+    sid = mgr.start_training_session(
+        {"mode": "demo", "epochs": 3, "epoch_seconds": 0.05})
+    for _ in range(100):
+        p = mgr.get_training_progress(sid)
+        if p["status"] == "completed":
+            break
+        time.sleep(0.05)
+    p = mgr.get_training_progress(sid)
+    assert p["status"] == "completed"
+    assert p["current_epoch"] == 3
+    assert 0 < p["dice_score"] <= 0.95
+    assert p["logs"]
+
+
+def test_training_jobs_stop():
+    mgr = TrainingJobManager()
+    sid = mgr.start_training_session(
+        {"mode": "demo", "epochs": 50, "epoch_seconds": 0.1})
+    time.sleep(0.3)
+    assert mgr.stop_training_session(sid)
+    for _ in range(50):
+        p = mgr.get_training_progress(sid)
+        if p["status"] in ("stopped", "completed"):
+            break
+        time.sleep(0.1)
+    assert p["status"] == "stopped"
+    assert not mgr.stop_training_session("bogus_id")
+
+
+def test_start_training_route_real_mode(app):
+    """Real-mode web training end-to-end on a tiny config."""
+    status, _, payload = _post_json(app, "/start_training", {
+        "mode": "real", "epochs": 1, "batch_size": 1, "num_samples": 2,
+        "image_size": [16, 16, 16], "model_arch": "tiny",
+    })
+    j = json.loads(payload)
+    assert j["success"] and j["session_id"]
+    sid = j["session_id"]
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        _, _, p = _get(app, "/training_progress",
+                       {"session_id": [sid]})
+        prog = json.loads(p)
+        if prog["status"] in ("completed", "error"):
+            break
+        time.sleep(1.0)
+    assert prog["status"] == "completed", prog
+    assert prog["current_epoch"] == 1
+
+
+def test_generate_synthetic_route(app, tmp_path):
+    status, _, payload = _post_json(app, "/generate_synthetic_data", {
+        "num_samples": 2, "save_dir": str(tmp_path / "gen"),
+        "shape": [16, 16, 16],
+    })
+    j = json.loads(payload)
+    assert j["success"] and j["num_samples"] == 2
+    import os
+    assert os.path.isdir(str(tmp_path / "gen" / "train"))
+
+
+def test_medical_metrics_real_vs_estimated(rng):
+    seg = np.zeros((24, 24, 24), np.int8)
+    seg[8:16, 8:16, 8:16] = 2
+    vol = rng.normal(size=seg.shape).astype(np.float32)
+    m1 = calculate_medical_metrics(vol, seg, ground_truth=seg)
+    assert m1["dice_score"] == pytest.approx(1.0, abs=1e-5)
+    assert not m1["quality_estimated"]
+    assert m1["tumor_volume_mm3"] == 512.0
+    m2 = calculate_medical_metrics(vol, seg)
+    assert m2["quality_estimated"]
+
+
+def test_clinical_report_ladder():
+    for vol_mm3, frag in [(20000, "Glioblastoma"), (10000, "Anaplastic"),
+                          (5000, "Diffuse"), (100, "Benign")]:
+        r = generate_clinical_report({"tumor_volume_mm3": vol_mm3,
+                                      "dice_score": 0.9,
+                                      "jaccard_index": 0.8,
+                                      "sensitivity": 0.9,
+                                      "specificity": 0.95,
+                                      "hausdorff_distance": 3.0})
+        assert frag in r["classification"]["primary_diagnosis"]
+        assert r["clinical_notes"]["findings"]
+        assert r["clinical_notes"]["recommendations"]
+    # deterministic
+    r1 = generate_clinical_report({"tumor_volume_mm3": 9000})
+    r2 = generate_clinical_report({"tumor_volume_mm3": 9000})
+    assert r1 == r2
