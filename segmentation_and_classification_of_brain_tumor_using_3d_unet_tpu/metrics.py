@@ -164,6 +164,41 @@ def compute_all_metrics(pred: ArrayLike, target: ArrayLike
     }
 
 
+class LossMetrics:
+    """Sigmoid-based binary loss variants (the reference's third loss
+    stack, ``utils/metrics.py:98-126``). logits/targets are channels-last
+    (B, D, H, W, C)."""
+
+    @staticmethod
+    def dice_loss(logits, targets, smooth: float = 1e-6):
+        p = jax.nn.sigmoid(jnp.asarray(logits, jnp.float32))
+        t = jnp.asarray(targets, jnp.float32)
+        axes = tuple(range(1, p.ndim - 1))
+        inter = jnp.sum(p * t, axis=axes)
+        union = jnp.sum(p, axis=axes) + jnp.sum(t, axis=axes)
+        dice = (2.0 * inter + smooth) / (union + smooth)
+        return 1.0 - jnp.mean(dice)
+
+    @staticmethod
+    def focal_loss(logits, targets, alpha: float = 0.25,
+                   gamma: float = 2.0):
+        from .losses import focal_loss as _fl
+        return _fl(logits, targets, alpha, gamma)
+
+    @staticmethod
+    def combined_loss(logits, targets, dice_weight: float = 0.5,
+                      focal_weight: float = 0.5,
+                      focal_targets=None):
+        """dice_weight * sigmoid-dice + focal_weight * focal
+        (reference ``utils/metrics.py:121-126``). ``focal_targets``
+        (integer labels) defaults to argmax of the one-hot targets."""
+        d = LossMetrics.dice_loss(logits, targets)
+        ft = focal_targets if focal_targets is not None else jnp.argmax(
+            jnp.asarray(targets), axis=-1)
+        f = LossMetrics.focal_loss(logits, ft)
+        return dice_weight * d + focal_weight * f
+
+
 class SegmentationMetrics:
     """Static-method facade matching reference ``utils/metrics.py:11-96``."""
 
