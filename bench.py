@@ -33,6 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--overlap", type=float, default=0.125)
+    ap.add_argument("--roi", type=int, nargs=3, default=(128, 128, 160))
     ap.add_argument("--sw_batch", type=int, default=2)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -56,7 +57,7 @@ def main():
 
     def run(v, vol):
         logits = sliding_window_inference(
-            v, vol, apply_fn, roi_size=(128, 128, 128),
+            v, vol, apply_fn, roi_size=tuple(args.roi),
             overlap=args.overlap, sw_batch_size=args.sw_batch,
             blend_mode="gaussian", out_channels=4)
         return jnp.argmax(logits, axis=-1).astype(jnp.int8)

@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.conv import FastConv3D, FastConvTranspose3D
 from ..ops.norm import group_norm
 from ..ops.pool import max_pool3d, global_avg_pool
 from ..ops.resize import resize_trilinear
@@ -62,15 +63,21 @@ class DoubleConv3D(nn.Module):
     use_residual: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         mid = self.mid_channels or self.out_channels
-        conv = lambda f, k, name: nn.Conv(
-            f, (k, k, k), padding="SAME", use_bias=False,
-            kernel_init=KAIMING, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
+
+        def conv(f, k, name):
+            if self.fast and k == 3:
+                return FastConv3D(f, (3, 3, 3), use_bias=False,
+                                  kernel_init=KAIMING, dtype=self.dtype,
+                                  param_dtype=self.param_dtype, name=name)
+            return nn.Conv(f, (k, k, k), padding="SAME", use_bias=False,
+                           kernel_init=KAIMING, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=name)
 
         out = conv(mid, 3, "conv1")(x)
         out = GroupNorm(8, name="gn1")(out)
@@ -140,6 +147,7 @@ class UNet3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     remat: bool = False
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -148,7 +156,8 @@ class UNet3D(nn.Module):
         if self.remat:
             dc = nn.remat(DoubleConv3D)
         block = lambda f, name: dc(
-            f, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+            f, dtype=self.dtype, param_dtype=self.param_dtype,
+            fast=self.fast, name=name)
         conv_out = lambda name: nn.Conv(
             self.out_channels, (1, 1, 1), kernel_init=KAIMING,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)
@@ -176,10 +185,15 @@ class UNet3D(nn.Module):
         # ---- decoder ----
         for i, f in enumerate(reversed(feats)):
             skip = skips[-(i + 1)]
-            x = nn.ConvTranspose(
-                f, (2, 2, 2), strides=(2, 2, 2), kernel_init=KAIMING,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"up{i}")(x)
+            if self.fast:
+                x = FastConvTranspose3D(
+                    f, kernel_init=KAIMING, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"up{i}")(x)
+            else:
+                x = nn.ConvTranspose(
+                    f, (2, 2, 2), strides=(2, 2, 2), kernel_init=KAIMING,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"up{i}")(x)
             x_att = AttentionGate3D(
                 f_int=max(f // 2, 1), dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"att{i}")(g=x, x=skip)
@@ -188,9 +202,15 @@ class UNet3D(nn.Module):
             x = block(f, f"dec{i}")(jnp.concatenate([x_att, x], axis=-1))
 
         # ---- head: Conv3-BN-ReLU-Conv1 (reference main.py:129-134) ----
-        h = nn.Conv(feats[0] // 2, (3, 3, 3), padding="SAME",
-                    kernel_init=KAIMING, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="head_conv")(x)
+        if self.fast:
+            h = FastConv3D(feats[0] // 2, (3, 3, 3), use_bias=True,
+                           kernel_init=KAIMING, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name="head_conv")(x)
+        else:
+            h = nn.Conv(feats[0] // 2, (3, 3, 3), padding="SAME",
+                        kernel_init=KAIMING, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="head_conv")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          name="head_bn")(h.astype(jnp.float32))

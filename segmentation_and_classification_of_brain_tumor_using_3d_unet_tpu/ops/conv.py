@@ -1,0 +1,141 @@
+"""Fast 3D convolution formulations for TPU.
+
+XLA's native 3D convolution lowers poorly on TPU (measured ~10 TF/s for
+the 32->32 @128^3 workhorse shape); the same contraction expressed as a
+z-axis im2col (concatenate the three depth-shifted views channel-wise,
+K = 3*Cin) followed by ONE 2D convolution hits XLA:TPU's mature conv2d
+path (~24 TF/s measured, 2.3x faster). Transposed conv (k=2, s=2, the
+U-Net upsampler) is a pure matmul + depth-to-space, which runs at full
+MXU utilization instead of the generic conv_transpose lowering.
+
+These are drop-in semantics for:
+  * ``nn.Conv(features, (3,3,3), padding='SAME')``  (DoubleConv blocks,
+    reference ``main.py:215-222``; head conv ``main.py:130``)
+  * ``nn.ConvTranspose(features, (2,2,2), strides=(2,2,2))``
+    (decoder upsampling, reference ``main.py:121``)
+
+Kernel layouts match flax (DHWIO), so parameters are checkpoint-
+compatible between the fast and native paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def conv3d_zcat(x: jax.Array, w: jax.Array,
+                bias: Optional[jax.Array] = None,
+                acc_dtype=jnp.float32) -> jax.Array:
+    """3x3x3 SAME conv over NDHWC via z-concat + conv2d.
+
+    x: (B, D, H, W, Cin); w: (3, 3, 3, Cin, Cout) [DHWIO].
+    Returns (B, D, H, W, Cout) in x.dtype.
+    """
+    B, D, H, W, C = x.shape
+    kd, kh, kw, ci, co = w.shape
+    if (kd, kh, kw) != (3, 3, 3):
+        raise ValueError(f"conv3d_zcat expects 3x3x3 kernels, got {w.shape}")
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    # channel-stacked depth shifts: [z-1 | z | z+1], kd-major order
+    xz = jnp.concatenate([xp[:, k:k + D] for k in range(3)], axis=-1)
+    x2 = xz.reshape(B * D, H, W, 3 * C)
+    w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, 3 * ci, co)
+    dn = jax.lax.conv_dimension_numbers(
+        x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x2, w2.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=acc_dtype)
+    y = y.reshape(B, D, H, W, co)
+    if bias is not None:
+        y = y + bias.astype(acc_dtype)
+    return y.astype(x.dtype)
+
+
+def conv_transpose3d_k2s2(x: jax.Array, w: jax.Array,
+                          bias: Optional[jax.Array] = None,
+                          acc_dtype=jnp.float32) -> jax.Array:
+    """ConvTranspose(kernel=2^3, stride=2^3) as matmul + depth-to-space.
+
+    x: (B, D, H, W, Cin); w: (2, 2, 2, Cin, Cout).
+    out[b, 2d+a, 2h+p, 2w+q] = sum_ci x[b,d,h,w,ci] * w[a,p,q,ci,co].
+    """
+    B, D, H, W, C = x.shape
+    kd, kh, kw, ci, co = w.shape
+    if (kd, kh, kw) != (2, 2, 2):
+        raise ValueError(f"expected 2x2x2 kernel, got {w.shape}")
+    # flax/lax conv_transpose applies the kernel spatially flipped
+    w = w[::-1, ::-1, ::-1]
+    wm = w.reshape(8, ci, co).transpose(1, 0, 2).reshape(ci, 8 * co)
+    y = jax.lax.dot_general(
+        x, wm.astype(x.dtype),
+        dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)          # (B,D,H,W,8*co)
+    y = y.reshape(B, D, H, W, 2, 2, 2, co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)         # B,D,2,H,2,W,2,co
+    y = y.reshape(B, 2 * D, 2 * H, 2 * W, co)
+    if bias is not None:
+        y = y + bias.astype(acc_dtype)
+    return y.astype(x.dtype)
+
+
+class FastConv3D(nn.Module):
+    """flax module wrapping ``conv3d_zcat`` for 3^3 kernels (falls back to
+    ``nn.Conv``-equivalent lax conv for other kernel sizes). Parameter
+    names/shapes identical to ``nn.Conv``."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    use_bias: bool = False
+    kernel_init: Any = KAIMING
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = tuple(self.kernel_size)
+        kernel = self.param("kernel", self.kernel_init,
+                            (*k, cin, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        x = x.astype(self.dtype)
+        if k == (3, 3, 3):
+            return conv3d_zcat(x, kernel.astype(self.dtype), bias)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1, 1), "SAME",
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class FastConvTranspose3D(nn.Module):
+    """flax module wrapping ``conv_transpose3d_k2s2``; parameter layout
+    identical to ``nn.ConvTranspose(features, (2,2,2), strides=(2,2,2))``."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (2, 2, 2, cin, self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        return conv_transpose3d_k2s2(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias)

@@ -157,3 +157,54 @@ def test_percentile_clip_zscore_matches_numpy(rng):
     z = np.asarray(ops.zscore_normalize(jnp.asarray(x)))
     wz = (x - x.mean()) / (x.std() + 1e-8)
     np.testing.assert_allclose(z, wz, atol=1e-3)
+
+
+# ---- fast conv formulations vs native lowering ------------------------
+
+
+def test_conv3d_zcat_matches_lax(rng):
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.conv import conv3d_zcat
+    x = jnp.asarray(rng.normal(size=(2, 6, 7, 5, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 16)).astype(np.float32))
+    got = conv3d_zcat(x, w)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME",
+                                        dimension_numbers=dn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv_transpose_k2s2_matches_flax(rng):
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.conv import (
+        conv_transpose3d_k2s2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 5, 3, 6)).astype(np.float32))
+    m = nn.ConvTranspose(10, (2, 2, 2), strides=(2, 2, 2))
+    v = m.init(jax.random.PRNGKey(0), x)
+    want = m.apply(v, x)
+    got = conv_transpose3d_k2s2(x, v["params"]["kernel"],
+                                v["params"]["bias"])
+    assert got.shape == (1, 8, 10, 6, 10)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_unet_fast_matches_native(rng):
+    """fast=True (zcat conv2d + matmul upsample) must equal fast=False
+    (native lax conv3d) with the SAME parameters."""
+    import jax.numpy as jnp
+    x = jnp.asarray(
+        rng.normal(size=(1, 16, 16, 16, 2)).astype(np.float32))
+    m_native = models.UNet3D(out_channels=4, features=FEATS,
+                             dtype=jnp.float32, fast=False)
+    m_fast = models.UNet3D(out_channels=4, features=FEATS,
+                           dtype=jnp.float32, fast=True)
+    v = m_native.init(jax.random.PRNGKey(0), x, train=False)
+    out_native = m_native.apply(v, x, train=False)["logits"]
+    out_fast = m_fast.apply(v, x, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(out_fast),
+                               np.asarray(out_native),
+                               atol=2e-3, rtol=2e-3)

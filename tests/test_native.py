@@ -1,0 +1,79 @@
+"""Native C++ host-preprocess library: build, decode parity with the
+Python NIfTI codec, resample and clip/z-score correctness."""
+
+import numpy as np
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+    native, nifti)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    return native.get_lib()
+
+
+@pytest.mark.parametrize("ext", ["nii", "nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8])
+def test_native_nifti_matches_python(tmp_path, rng, lib, ext, dtype):
+    if np.issubdtype(dtype, np.floating):
+        data = rng.normal(size=(9, 7, 5)).astype(dtype)
+    else:
+        data = rng.integers(0, 90, size=(9, 7, 5)).astype(dtype)
+    p = str(tmp_path / f"v.{ext}")
+    nifti.save(p, data)
+    got = native.read_nifti(p)
+    assert got is not None
+    want = nifti.load(p).data
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)
+
+
+def test_native_scl_slope(tmp_path, rng, lib):
+    import struct
+    data = rng.integers(0, 50, size=(4, 4, 4)).astype(np.int16)
+    p = str(tmp_path / "v.nii")
+    nifti.save(p, data)
+    with open(p, "r+b") as f:
+        f.seek(112)
+        f.write(struct.pack("<ff", 3.0, -1.0))
+    got = native.read_nifti(p)
+    np.testing.assert_allclose(got, data * 3.0 - 1.0, atol=1e-5)
+
+
+def test_native_zoom_matches_jax(rng, lib):
+    """Native trilinear zoom uses half-pixel centers == jax.image.resize."""
+    import jax.numpy as jnp
+    import jax
+    vol = rng.normal(size=(7, 9, 5)).astype(np.float32)
+    got = native.zoom(vol, (14, 13, 8), order=1)
+    want = np.asarray(jax.image.resize(jnp.asarray(vol), (14, 13, 8),
+                                       method="trilinear"))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_native_zoom_nearest(rng, lib):
+    vol = rng.integers(0, 5, size=(6, 6, 6)).astype(np.float32)
+    got = native.zoom(vol, (12, 12, 12), order=0)
+    # nearest upsample by 2 with half-pixel centers = repeat each voxel
+    want = vol.repeat(2, 0).repeat(2, 1).repeat(2, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_clip_zscore_matches_numpy(rng, lib):
+    x = (rng.normal(size=(20, 20, 20)) * 30 + 5).astype(np.float32)
+    got = native.clip_zscore(x, 1.0, 99.0)
+    c = np.clip(x, np.percentile(x, 1), np.percentile(x, 99))
+    want = (c - c.mean()) / (c.std() + 1e-8)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_dataset_uses_native(tmp_path, rng, lib):
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.dataset import (
+        load_any_volume)
+    data = rng.normal(size=(8, 6, 4)).astype(np.float32)
+    p = str(tmp_path / "x.nii.gz")
+    nifti.save(p, data)
+    got = load_any_volume(p)
+    np.testing.assert_allclose(got, data, atol=1e-6)
