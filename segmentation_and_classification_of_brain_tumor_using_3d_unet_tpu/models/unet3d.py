@@ -164,6 +164,12 @@ class UNet3D(nn.Module):
 
         x = x.astype(self.dtype)
         full_res = x.shape[1:-1]
+        min_size = 2 ** len(feats)
+        if min(full_res) < min_size:
+            raise ValueError(
+                f"input spatial dims {full_res} too small for "
+                f"{len(feats)} encoder levels (need >= {min_size}); "
+                f"use fewer features or a larger volume")
         skips: List[jax.Array] = []
         deep: List[jax.Array] = []
 

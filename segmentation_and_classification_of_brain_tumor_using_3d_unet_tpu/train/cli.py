@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["standard", "fast", "high_quality",
                             "lightweight", "production"])
     p.add_argument("--image_size", type=int, nargs=3, default=None)
+    p.add_argument("--features", type=int, nargs="+", default=None,
+                   help="encoder channel progression, e.g. 32 64 128")
     p.add_argument("--synthetic_shape", type=int, nargs=3, default=None,
                    help="native shape of generated synthetic volumes")
     p.add_argument("--mesh_data", type=int, default=1,
@@ -74,9 +76,15 @@ def train_main(argv: Optional[Sequence[str]] = None):
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data,
                                      image_size=tuple(args.image_size)))
+    model_kw = {}
     if args.no_remat or args.dtype == "float32":
-        cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, remat=not args.no_remat, compute_dtype=args.dtype))
+        model_kw.update(remat=not args.no_remat,
+                        compute_dtype=args.dtype)
+    if args.features:
+        model_kw.update(features=tuple(args.features))
+    if model_kw:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, **model_kw))
     cfg.create_directories()
 
     if args.create_synthetic:

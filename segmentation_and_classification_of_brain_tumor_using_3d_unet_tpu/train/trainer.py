@@ -132,6 +132,7 @@ class ModernBrainTumorTrainer:
             self._pending_resume = None
 
     _pending_resume: Optional[str] = None
+    _saved_any: bool = False
 
     def load_checkpoint(self, path: str) -> None:
         """Queue a resume; applied when the state is first built
@@ -215,11 +216,15 @@ class ModernBrainTumorTrainer:
                 self.best_dice = val_m["dice"]
                 self.patience_counter = 0
                 self.save_model(epoch)
+                self._saved_any = True
             else:
                 self.patience_counter += 1
                 if self.patience_counter >= self.patience:
                     logger.info("early stopping at epoch %d", epoch + 1)
                     break
+        if self.state is not None and not self._saved_any:
+            # e.g. empty val split: still persist the final weights
+            self.save_model(num_epochs - 1)
         self.generate_training_report()
         return self.metrics_history
 
