@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv import FastConv3D, FastConvTranspose3D
+from ..ops.conv import Conv1x1, FastConv3D, FastConvTranspose3D
 from ..ops.norm import group_norm
 from ..ops.pool import max_pool3d, global_avg_pool
 from ..ops.resize import resize_trilinear
@@ -75,6 +75,10 @@ class DoubleConv3D(nn.Module):
                 return FastConv3D(f, (3, 3, 3), use_bias=False,
                                   kernel_init=KAIMING, dtype=self.dtype,
                                   param_dtype=self.param_dtype, name=name)
+            if self.fast and k == 1:
+                return Conv1x1(f, use_bias=False, kernel_init=KAIMING,
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype, name=name)
             return nn.Conv(f, (k, k, k), padding="SAME", use_bias=False,
                            kernel_init=KAIMING, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name)
@@ -106,12 +110,18 @@ class AttentionGate3D(nn.Module):
     f_int: int
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    fast: bool = True
 
     @nn.compact
     def __call__(self, g, x):
-        conv1 = lambda f, name: nn.Conv(
-            f, (1, 1, 1), use_bias=True, kernel_init=KAIMING,
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        if self.fast:
+            conv1 = lambda f, name: Conv1x1(
+                f, use_bias=True, kernel_init=KAIMING, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name)
+        else:
+            conv1 = lambda f, name: nn.Conv(
+                f, (1, 1, 1), use_bias=True, kernel_init=KAIMING,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         f_l = x.shape[-1]
 
         g1 = GroupNorm(4, name="gn_g")(conv1(self.f_int, "w_g")(g))
@@ -158,9 +168,14 @@ class UNet3D(nn.Module):
         block = lambda f, name: dc(
             f, dtype=self.dtype, param_dtype=self.param_dtype,
             fast=self.fast, name=name)
-        conv_out = lambda name: nn.Conv(
-            self.out_channels, (1, 1, 1), kernel_init=KAIMING,
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        if self.fast:
+            conv_out = lambda name: Conv1x1(
+                self.out_channels, kernel_init=KAIMING, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name)
+        else:
+            conv_out = lambda name: nn.Conv(
+                self.out_channels, (1, 1, 1), kernel_init=KAIMING,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=name)
 
         x = x.astype(self.dtype)
         full_res = x.shape[1:-1]
@@ -202,7 +217,8 @@ class UNet3D(nn.Module):
                     name=f"up{i}")(x)
             x_att = AttentionGate3D(
                 f_int=max(f // 2, 1), dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"att{i}")(g=x, x=skip)
+                param_dtype=self.param_dtype, fast=self.fast,
+                name=f"att{i}")(g=x, x=skip)
             if x.shape[1:-1] != skip.shape[1:-1]:
                 x = resize_trilinear(x, skip.shape[1:-1])
             x = block(f, f"dec{i}")(jnp.concatenate([x_att, x], axis=-1))
@@ -221,9 +237,16 @@ class UNet3D(nn.Module):
                          epsilon=1e-5, dtype=jnp.float32,
                          name="head_bn")(h.astype(jnp.float32))
         h = nn.relu(h).astype(self.dtype)
-        logits = nn.Conv(self.out_channels, (1, 1, 1), kernel_init=KAIMING,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="head_out")(h)
+        if self.fast:
+            logits = Conv1x1(self.out_channels, kernel_init=KAIMING,
+                             dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="head_out")(h)
+        else:
+            logits = nn.Conv(self.out_channels, (1, 1, 1),
+                             kernel_init=KAIMING, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="head_out")(h)
 
         return {
             "logits": logits.astype(jnp.float32),

@@ -84,6 +84,48 @@ def conv_transpose3d_k2s2(x: jax.Array, w: jax.Array,
     return y.astype(x.dtype)
 
 
+def conv1x1(x: jax.Array, w: jax.Array,
+            bias: Optional[jax.Array] = None,
+            acc_dtype=jnp.float32) -> jax.Array:
+    """1x1x1 convolution as a channel matmul (XLA's generic 3D-conv
+    lowering is pathologically slow for pointwise convs on TPU).
+
+    x: (..., Cin); w: (1,1,1,Cin,Cout) or (Cin,Cout).
+    """
+    if w.ndim == 5:
+        w = w.reshape(w.shape[-2], w.shape[-1])
+    y = jax.lax.dot_general(
+        x, w.astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+    if bias is not None:
+        y = y + bias.astype(acc_dtype)
+    return y.astype(x.dtype)
+
+
+class Conv1x1(nn.Module):
+    """flax module for pointwise 3D conv via matmul; parameter layout
+    identical to ``nn.Conv(features, (1,1,1))``."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = KAIMING
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, 1, cin, self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        return conv1x1(x.astype(self.dtype), kernel.astype(self.dtype),
+                       bias)
+
+
 class FastConv3D(nn.Module):
     """flax module wrapping ``conv3d_zcat`` for 3^3 kernels (falls back to
     ``nn.Conv``-equivalent lax conv for other kernel sizes). Parameter

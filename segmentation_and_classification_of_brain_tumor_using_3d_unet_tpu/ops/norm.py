@@ -25,15 +25,29 @@ def group_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     c = x.shape[-1]
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by groups {num_groups}")
-    spatial = x.shape[1:-1]
+    # Lane-friendly formulation: never reshape the minor (lane) dim.
+    # Per-channel spatial moments first (lane-preserving reductions),
+    # then combine channels into group stats on a tiny (N, C) array and
+    # broadcast back per channel.
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    xf32 = x.astype(jnp.float32)
+    s1 = jnp.mean(xf32, axis=spatial_axes)                  # (N, C)
+    s2 = jnp.mean(jnp.square(xf32), axis=spatial_axes)      # (N, C)
     n = x.shape[0]
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(n, *spatial, c)
-    out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    g1 = jnp.mean(s1.reshape(n, num_groups, -1), axis=-1)   # (N, G)
+    g2 = jnp.mean(s2.reshape(n, num_groups, -1), axis=-1)
+    mean_c = jnp.repeat(g1, c // num_groups, axis=-1)       # (N, C)
+    # one-pass moments cancel catastrophically for near-constant groups;
+    # clamp so rsqrt stays real (torch two-pass would give var ~ 0 here)
+    var_c = jnp.maximum(
+        jnp.repeat(g2, c // num_groups, axis=-1) - jnp.square(mean_c),
+        0.0)
+    rstd_c = jax.lax.rsqrt(var_c + eps)
+    shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    scale = (rstd_c * gamma.astype(jnp.float32)).reshape(shape)
+    shift = (beta.astype(jnp.float32)
+             - mean_c * rstd_c * gamma.astype(jnp.float32)).reshape(shape)
+    return (xf32 * scale + shift).astype(orig_dtype)
 
 
 def batch_norm_infer(x: jax.Array, gamma: jax.Array, beta: jax.Array,
