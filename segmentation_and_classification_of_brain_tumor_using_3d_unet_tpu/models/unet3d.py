@@ -202,6 +202,7 @@ class UNet3D(nn.Module):
 
         # ---- bottleneck ----
         x = block(feats[-1] * 2, "bottleneck")(x)
+        bottleneck_feats = x
 
         # ---- decoder ----
         for i, f in enumerate(reversed(feats)):
@@ -251,4 +252,7 @@ class UNet3D(nn.Module):
         return {
             "logits": logits.astype(jnp.float32),
             "deep": deep if train else [],
+            # bottleneck features for joint heads (models/joint.py);
+            # dead code unless consumed, so eval-only graphs drop it
+            "bottleneck": bottleneck_feats,
         }

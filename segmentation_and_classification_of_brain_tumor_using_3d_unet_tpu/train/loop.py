@@ -79,6 +79,62 @@ def make_train_step(config: Config, num_classes: int = 4,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_joint_train_step(config: Config, num_classes: int = 4,
+                          cls_weight: float = 0.3,
+                          mesh: Optional[Mesh] = None,
+                          donate: bool = True) -> Callable:
+    """Train step for ``UNet3DWithClassifier`` (BASELINE config 4).
+
+    ``step(state, batch, key)`` where batch additionally carries integer
+    ``grade`` labels (derived from tumor burden when absent).
+    """
+    from ..models.joint import grade_from_volume, joint_loss
+    seg_loss_fn = make_loss_fn(config)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array],
+             key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        images, targets = batch["image"], batch["mask"]
+        if "grade" in batch:
+            grades = batch["grade"]
+        else:
+            tumor = jnp.sum((targets > 0).astype(jnp.int32),
+                            axis=(1, 2, 3))
+            total = targets.shape[1] * targets.shape[2] * targets.shape[3]
+            grades = grade_from_volume(tumor, total)
+
+        def compute_loss(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": key})
+            loss, parts = joint_loss(out, targets, grades, seg_loss_fn,
+                                     cls_weight)
+            return loss, (mutated["batch_stats"], out, parts)
+
+        (loss, (new_bs, out, parts)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        grade_acc = jnp.mean(
+            (jnp.argmax(out["grade_logits"], -1) == grades
+             ).astype(jnp.float32))
+        metrics = {
+            "loss": loss, "seg_loss": parts["seg_loss"],
+            "grade_ce": parts["grade_ce"], "grade_acc": grade_acc,
+            "dice": mean_foreground_dice(out["logits"], targets,
+                                         num_classes),
+        }
+        return new_state, metrics
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+        bs, rep = batch_sharding(mesh), replicated(mesh)
+        return jax.jit(step,
+                       in_shardings=(rep, {"image": bs, "mask": bs}, rep),
+                       out_shardings=(rep, rep),
+                       donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(config: Config, num_classes: int = 4,
                    mesh: Optional[Mesh] = None) -> Callable:
     """Returns ``eval_step(state, batch) -> metrics`` (loss, dice,
