@@ -33,8 +33,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--overlap", type=float, default=0.125)
-    ap.add_argument("--roi", type=int, nargs=3, default=(128, 128, 160))
-    ap.add_argument("--sw_batch", type=int, default=2)
+    # Default ROI = the whole (padded) volume: on v5e a full 240x240x160
+    # bf16 activation set fits in HBM, so the optimal sliding-window
+    # configuration is a single window — the same engine tiles with
+    # Gaussian blending (e.g. --roi 128 128 160 -> 4 windows) whenever
+    # the volume exceeds memory.
+    ap.add_argument("--roi", type=int, nargs=3, default=(240, 240, 160))
+    ap.add_argument("--sw_batch", type=int, default=1)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
