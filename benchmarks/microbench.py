@@ -21,15 +21,17 @@ def timed(fn, *args, iters=10, label=""):
     """Compile fn, then time `iters` chained applications in one jit."""
 
     def chained(args):
-        def body(c, i):
+        def body(c, _):
+            # carry-dependent, dtype-preserving perturbation: defeats
+            # loop-invariant hoisting without promoting bf16 inputs
+            eps = c * 1e-30
             out = fn(*jax.tree_util.tree_map(
                 lambda a: a if a.dtype not in (jnp.float32, jnp.bfloat16)
-                else a + i * 1e-12, args))
+                else a + eps.astype(a.dtype), args))
             s = sum(jnp.sum(o.astype(jnp.float32))
                     for o in jax.tree_util.tree_leaves(out))
             return c + s, None
-        tot, _ = jax.lax.scan(body, jnp.float32(0),
-                              jnp.arange(iters, dtype=jnp.float32))
+        tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return tot
 
     jfn = jax.jit(chained)
