@@ -1,0 +1,65 @@
+"""Training-step benchmark (BASELINE.json config 2/3): full train step
+(fwd bf16 + deep-supervision combined loss + bwd + AdamW + on-device
+Dice) on 4-modality 128^3 patches, flagship UNet3D."""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--size", type=int, nargs=3,
+                    default=(128, 128, 128))
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--no_remat", action="store_true")
+    args = ap.parse_args()
+
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        create_train_state, make_train_step)
+
+    cfg = Config()
+    model = UNet3D(out_channels=4, dtype=jnp.bfloat16,
+                   remat=not args.no_remat)
+    size = tuple(args.size)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *size, 4), steps_per_epoch=100)
+    step = make_train_step(cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(
+            size=(args.batch, *size, 4)).astype(np.float32)),
+        "mask": jnp.asarray(rng.integers(
+            0, 4, size=(args.batch, *size)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    state, m = step(state, batch, key)
+    print(f"compile+first step: {time.time() - t0:.1f}s  "
+          f"loss={float(m['loss']):.4f}")
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        _ = float(m["loss"])     # sync
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    print(f"train step {size} b{args.batch} remat={not args.no_remat}: "
+          f"{med * 1e3:.1f} ms/step = {args.batch / med:.2f} patches/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,35 @@ def export_unet3d_to_torch(params: Mapping, batch_stats: Mapping,
     return out
 
 
+def save_torch_checkpoint(path: str, params: Mapping,
+                          batch_stats: Mapping,
+                          features: Sequence[int] = (32, 64, 128,
+                                                     256, 512)) -> str:
+    """Write a reference-loadable ``.pth`` (torch.save of the mapped
+    state_dict) so reference-side tooling can consume TPU-trained
+    weights."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_unet3d_to_torch(params, batch_stats,
+                                             features).items()}
+    torch.save(sd, path)
+    return path
+
+
+def load_torch_checkpoint(path: str, in_channels: int = 4,
+                          features: Sequence[int] = (32, 64, 128,
+                                                     256, 512)
+                          ) -> Tuple[Dict, Dict]:
+    """Read a reference ``.pth`` (either a bare state_dict or the
+    reference trainer's checkpoint dict with ``model_state_dict``,
+    ``training.py:396-404``) into (params, batch_stats)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return import_unet3d_from_torch(obj, in_channels, features)
+
+
 def import_classifier_from_torch(state_dict: Mapping
                                  ) -> Dict[str, Any]:
     """Reference ``BrainTumorClassifier.state_dict()`` -> flax params.

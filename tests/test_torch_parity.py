@@ -180,3 +180,33 @@ def test_classifier_forward_parity(rng):
         jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4,
                                rtol=1e-4)
+
+
+def test_pth_file_roundtrip(tmp_path, torch_unet, rng):
+    """.pth save/load through the reference checkpoint format."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.utils.torch_interop import (
+        load_torch_checkpoint, save_torch_checkpoint)
+    params, bs = import_unet3d_from_torch(torch_unet.state_dict(),
+                                          IN_CH, FEATS)
+    p = str(tmp_path / "best.pth")
+    save_torch_checkpoint(p, params, bs, FEATS)
+    # also via the reference trainer's wrapper dict shape
+    wrapped = str(tmp_path / "ckpt.pth")
+    torch.save({"model_state_dict": torch.load(p, weights_only=False),
+                "best_dice": 0.9}, wrapped)
+    for path in (p, wrapped):
+        params2, bs2 = load_torch_checkpoint(path, IN_CH, FEATS)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_step_timer():
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.utils.profiling import (
+        StepTimer)
+    t = StepTimer(sync_every=2)
+    x = jnp.ones(4)
+    for _ in range(6):
+        t.tick(x)
+    s = t.summary()
+    assert s["steps"] == 6 and s["steps_per_sec"] > 0
