@@ -49,11 +49,10 @@ def conv3d_zcat(x: jax.Array, w: jax.Array,
     dn = jax.lax.conv_dimension_numbers(
         x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
-        x2, w2.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn,
-        preferred_element_type=acc_dtype)
+        x2, w2.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn)
     y = y.reshape(B, D, H, W, co)
     if bias is not None:
-        y = y + bias.astype(acc_dtype)
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -74,13 +73,12 @@ def conv_transpose3d_k2s2(x: jax.Array, w: jax.Array,
     wm = w.reshape(8, ci, co).transpose(1, 0, 2).reshape(ci, 8 * co)
     y = jax.lax.dot_general(
         x, wm.astype(x.dtype),
-        dimension_numbers=(((4,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)          # (B,D,H,W,8*co)
+        dimension_numbers=(((4,), (0,)), ((), ())))   # (B,D,H,W,8*co)
     y = y.reshape(B, D, H, W, 2, 2, 2, co)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)         # B,D,2,H,2,W,2,co
     y = y.reshape(B, 2 * D, 2 * H, 2 * W, co)
     if bias is not None:
-        y = y + bias.astype(acc_dtype)
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -96,10 +94,9 @@ def conv1x1(x: jax.Array, w: jax.Array,
         w = w.reshape(w.shape[-2], w.shape[-1])
     y = jax.lax.dot_general(
         x, w.astype(x.dtype),
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
     if bias is not None:
-        y = y + bias.astype(acc_dtype)
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -154,7 +151,7 @@ class FastConv3D(nn.Module):
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1, 1), "SAME",
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
+            dimension_numbers=dn)
         if bias is not None:
             y = y + bias
         return y.astype(self.dtype)
