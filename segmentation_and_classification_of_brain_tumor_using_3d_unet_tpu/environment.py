@@ -98,3 +98,10 @@ def setup_environment(seed: int = 42, log_dir: str = "logs",
 if __name__ == "__main__":
     key, path = setup_environment()
     print(f"environment ready; log at {path}")
+
+
+def enable_nan_debugging(enable: bool = True) -> None:
+    """Numerics sanitizer (SURVEY.md section 5): make jit'd programs
+    fault on NaN production (jax_debug_nans)."""
+    import jax
+    jax.config.update("jax_debug_nans", enable)

@@ -63,3 +63,20 @@ def shard_batch(batch, mesh: Mesh):
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host SPMD bring-up (``jax.distributed.initialize``): the
+    communication backend is XLA collectives over ICI/DCN — there is no
+    NCCL/MPI analog to configure (SURVEY.md section 2.9). No-op when
+    already initialized or single-process."""
+    import jax
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError) as e:
+        logger = __import__("logging").getLogger(__name__)
+        logger.info("jax.distributed.initialize skipped: %s", e)
