@@ -215,3 +215,19 @@ def test_clinical_report_ladder():
     r1 = generate_clinical_report({"tumor_volume_mm3": 9000})
     r2 = generate_clinical_report({"tumor_volume_mm3": 9000})
     assert r1 == r2
+
+
+def test_upload_corrupt_file_degrades(app):
+    """A garbage payload falls back to the explicit demo analysis
+    (reference degradation contract, main.py:897-905)."""
+    boundary = "BX"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="broken.nii.gz"\r\n\r\n').encode() + b"\x1f\x8b" + (
+        b"\x00" * 64) + f"\r\n--{boundary}--\r\n".encode()
+    status, _, payload = app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert j["success"] is True
+    assert j["degraded_mode"] is True
