@@ -1,0 +1,66 @@
+"""End-to-end learning check on real hardware: train the attention-gated
+UNet on a small synthetic BraTS cohort and verify validation Dice
+climbs well above chance (the reference's implied 'training works'
+criterion — its own training path never ran, SURVEY.md caveat)."""
+
+import argparse
+import sys
+import tempfile
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--samples", type=int, default=12)
+    ap.add_argument("--size", type=int, nargs=3, default=(64, 64, 64))
+    ap.add_argument("--features", type=int, nargs="+",
+                    default=(16, 32, 64, 128))
+    args = ap.parse_args()
+
+    import dataclasses
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        create_brats_data_loaders, create_enhanced_synthetic_data)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        ModernBrainTumorTrainer)
+
+    size = tuple(args.size)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model,
+                                  features=tuple(args.features)),
+        data=dataclasses.replace(cfg.data, image_size=size),
+        use_tensorboard=False, batch_size=2)
+
+    data_dir = tempfile.mkdtemp(prefix="convergence_")
+    create_enhanced_synthetic_data(args.samples, data_dir,
+                                   shape=(96, 96, 64), seed=7)
+    train_loader, val_loader = create_brats_data_loaders(
+        data_dir, batch_size=2, num_workers=2, image_size=size,
+        aug_cfg=cfg.augment)
+    model = UNet3D(out_channels=4, features=tuple(args.features),
+                   dtype=jnp.bfloat16)
+    trainer = ModernBrainTumorTrainer(
+        model, learning_rate=3e-4, config=cfg,
+        experiment_name="convergence_check", hausdorff_every=5)
+    t0 = time.time()
+    hist = trainer.train(train_loader, val_loader, args.epochs)
+    dt = time.time() - t0
+    first, best = hist["val_dice"][0], max(hist["val_dice"])
+    print(f"epochs={len(hist['val_dice'])}  first val dice {first:.4f}"
+          f"  best {best:.4f}  wall {dt:.0f}s")
+    assert best > 0.5, f"model failed to learn (best dice {best:.3f})"
+    assert best > first + 0.1, "no meaningful improvement"
+    print("CONVERGENCE OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -231,3 +231,33 @@ def test_upload_corrupt_file_degrades(app):
     j = json.loads(payload)
     assert j["success"] is True
     assert j["degraded_mode"] is True
+
+
+def test_http_server_over_socket(app):
+    """Socket-level smoke: real ThreadingHTTPServer + urllib round trip."""
+    import threading
+    import urllib.request
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve.app import (
+        create_server)
+    server = create_server("127.0.0.1", 0, app=app)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            assert r.status == 200
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=10) as r:
+            assert b"<html" in r.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/start_training",
+            data=json.dumps({"mode": "demo", "epochs": 1,
+                             "epoch_seconds": 0.05}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            j = json.loads(r.read())
+            assert j["success"]
+    finally:
+        server.shutdown()
