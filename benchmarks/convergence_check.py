@@ -16,8 +16,8 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--samples", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--size", type=int, nargs=3, default=(64, 64, 64))
     ap.add_argument("--features", type=int, nargs="+",
                     default=(16, 32, 64, 128))
@@ -42,6 +42,8 @@ def main():
         # synthetic cohorts (few steps/epoch)
         optimizer=dataclasses.replace(cfg.optimizer,
                                       scheduler="constant"),
+        # a tiny-cohort learning check needs its full step budget
+        early_stopping_patience=10_000,
         use_tensorboard=False, batch_size=2)
 
     data_dir = tempfile.mkdtemp(prefix="convergence_")
@@ -60,7 +62,8 @@ def main():
     dt = time.time() - t0
     first, best = hist["val_dice"][0], max(hist["val_dice"])
     print(f"epochs={len(hist['val_dice'])}  first val dice {first:.4f}"
-          f"  best {best:.4f}  wall {dt:.0f}s")
+          f"  best val {best:.4f}  best train "
+          f"{max(hist['train_dice']):.4f}  wall {dt:.0f}s")
     assert best > 0.3, f"model failed to learn (best dice {best:.3f})"
     assert best > first + 0.1, "no meaningful improvement"
     print("CONVERGENCE OK")
