@@ -96,6 +96,16 @@ def sliding_window_inference(params, volume: Array,
                                 indexing="ij"), axis=-1).reshape(-1, 3)
     num_patches = grid.shape[0]
 
+    if num_patches == 1 and tuple(roi_size) == (D, H, W):
+        # single window covering the (padded) volume: blending is the
+        # identity (acc/wsum == logits), so skip the accumulate pass
+        out = apply_fn(params, volume[None]).astype(jnp.float32)[0]
+        if (D, H, W) != tuple(orig_shape):
+            off = [(p - o) // 2 for p, o in zip((D, H, W), orig_shape)]
+            out = jax.lax.dynamic_slice(
+                out, (*off, 0), (*orig_shape, out_channels))
+        return out
+
     # pad patch list to a multiple of sw_batch_size (duplicates of patch 0
     # get zero weight)
     pad = (-num_patches) % sw_batch_size
