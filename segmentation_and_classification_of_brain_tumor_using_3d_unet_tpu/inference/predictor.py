@@ -13,8 +13,7 @@ Two segmentation paths:
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import numpy as np
 from ..config import CLASS_NAMES, Config
 from ..data.preprocess import preprocess_image as _pre_chain
 from ..models import BrainTumorClassifier, UNet3D
-from ..ops.resize import resize_nearest, resize_trilinear
+from ..ops.resize import resize_trilinear
 from .sliding_window import make_sw_predictor
 
 Array = jax.Array
@@ -158,7 +157,7 @@ def preprocess_image(path_or_array, target_size=(128, 128, 128)
     """File/array -> normalized (D,H,W) float32 at target size (reference
     ``main.py:356-380``: NIfTI via codec, 2D images stacked, z-score,
     zoom)."""
-    from ..data.dataset import load_any_volume, _zoom_to
+    from ..data.dataset import load_any_volume
     vol = (load_any_volume(path_or_array)
            if isinstance(path_or_array, str) else
            np.asarray(path_or_array, np.float32))

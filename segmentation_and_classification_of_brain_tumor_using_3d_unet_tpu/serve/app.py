@@ -15,7 +15,6 @@ fails (reference's ubiquitous try/except->demo contract).
 
 from __future__ import annotations
 
-import io
 import json
 import logging
 import os
@@ -26,8 +25,6 @@ import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
-
-import numpy as np
 
 from ..config import Config
 from . import templates

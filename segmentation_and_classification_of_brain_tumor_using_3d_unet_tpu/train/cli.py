@@ -14,8 +14,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
-import os
-import sys
 from typing import Optional, Sequence
 
 logger = logging.getLogger(__name__)
