@@ -156,3 +156,31 @@ def test_brain_tumor_dataset_single_file(tmp_path, rng):
     assert float(item["image"].max()) <= 1.0 + 1e-6
     assert not item["segmentation"].any()
     assert item["path"] == p
+
+
+def test_flat_layout_split_no_leak(tmp_path):
+    """Flat (split-less) data dirs get a deterministic 80/20 split with
+    disjoint patients between train and val."""
+    import shutil
+    src = create_enhanced_synthetic_data(5, str(tmp_path / "B"),
+                                         shape=SMALL, seed=9)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for split in ("train", "val"):
+        for p in (tmp_path / "B" / split).iterdir():
+            shutil.move(str(p), str(flat / p.name))
+    train = BraTS2024Dataset(str(flat), mode="train")
+    val = BraTS2024Dataset(str(flat), mode="val")
+    assert len(train) == 4 and len(val) == 1
+    t_ids = {s["patient_id"] for s in train.samples}
+    v_ids = {s["patient_id"] for s in val.samples}
+    assert not (t_ids & v_ids)
+
+
+def test_split_layout_missing_val_is_empty(tmp_path):
+    d = create_enhanced_synthetic_data(2, str(tmp_path / "B"),
+                                       shape=SMALL, seed=9)
+    import shutil
+    shutil.rmtree(str(tmp_path / "B" / "val"))
+    val = BraTS2024Dataset(d, mode="val")
+    assert len(val) == 0   # no silent reuse of train patients
