@@ -7,7 +7,8 @@ from .conv import (Conv1x1, FastConv3D, FastConvTranspose3D, conv1x1,
 from .norm import group_norm, batch_norm_infer
 from .resize import resize_trilinear, resize_nearest, adaptive_avg_pool
 from .pool import max_pool3d, global_avg_pool
-from .stats import percentile, percentile_clip, zscore_normalize
+from .stats import (percentile, percentile_bisect, percentile_clip,
+                    zscore_normalize)
 
 __all__ = [
     "Conv1x1", "FastConv3D", "FastConvTranspose3D", "conv1x1",
@@ -15,5 +16,6 @@ __all__ = [
     "group_norm", "batch_norm_infer",
     "resize_trilinear", "resize_nearest", "adaptive_avg_pool",
     "max_pool3d", "global_avg_pool",
-    "percentile", "percentile_clip", "zscore_normalize",
+    "percentile", "percentile_bisect", "percentile_clip",
+    "zscore_normalize",
 ]

@@ -208,3 +208,17 @@ def test_unet_fast_matches_native(rng):
     np.testing.assert_allclose(np.asarray(out_fast),
                                np.asarray(out_native),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_percentile_bisect_matches_numpy(rng):
+    x = (rng.normal(size=(32, 32, 32)) * 40 + 7).astype(np.float32)
+    got = np.asarray(ops.percentile_bisect(jnp.asarray(x), (1.0, 99.0)))
+    want = np.percentile(x, [1.0, 99.0])
+    span = x.max() - x.min()
+    # bisection finds a value with the right rank — within a hair of
+    # the interpolated numpy definition
+    np.testing.assert_allclose(got, want, atol=span * 1e-3)
+    # clip chain equivalence at tolerance
+    c_fast = np.asarray(ops.percentile_clip(jnp.asarray(x)))
+    c_exact = np.asarray(ops.percentile_clip(jnp.asarray(x), exact=True))
+    np.testing.assert_allclose(c_fast, c_exact, atol=span * 1e-3)
