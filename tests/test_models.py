@@ -151,7 +151,8 @@ def test_adaptive_avg_pool_matches_torch(rng):
 
 def test_percentile_clip_zscore_matches_numpy(rng):
     x = rng.normal(size=(16, 16, 16)).astype(np.float32) * 50 + 10
-    got = np.asarray(ops.percentile_clip(jnp.asarray(x), 1.0, 99.0))
+    got = np.asarray(ops.percentile_clip(jnp.asarray(x), 1.0, 99.0,
+                                         exact=True))
     want = np.clip(x, np.percentile(x, 1), np.percentile(x, 99))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
     z = np.asarray(ops.zscore_normalize(jnp.asarray(x)))
