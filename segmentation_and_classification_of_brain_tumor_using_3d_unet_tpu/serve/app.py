@@ -351,10 +351,25 @@ def create_server(host: str = "0.0.0.0", port: int = 5000,
     return server
 
 
-def main(host: str = "0.0.0.0", port: int = 5000):
+def main(host: str = "0.0.0.0", port: int = 5000,
+         warmup: bool = True):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     server = create_server(host, port)
+    if warmup:
+        # compile the inference programs before the first request so an
+        # upload never waits on XLA (the reference builds its models at
+        # import time for the same reason, main.py:330-354)
+        try:
+            import numpy as _np
+            app_ = server.app
+            pred = app_._get_predictor()
+            size = app_.config.data.image_size
+            pred.segment_with_confidence(
+                _np.zeros(size, _np.float32), mode="whole_volume")
+            logger.info("inference warmup complete")
+        except Exception as e:
+            logger.warning("warmup failed (serving anyway): %s", e)
     print("=" * 60)
     print("Brain Tumor Segmentation System (TPU-native)")
     print(f"Serving at http://{host}:{port}")
