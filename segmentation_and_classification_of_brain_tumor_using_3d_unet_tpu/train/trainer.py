@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..metrics import hausdorff_distance, mean_foreground_dice
+from ..metrics import (hausdorff_distance, mean_foreground_dice,
+                       region_dice)
 from . import checkpoints
 from .loop import make_eval_step, make_train_step
 from .state import TrainState, create_train_state, current_lr
@@ -165,11 +166,13 @@ class ModernBrainTumorTrainer:
         n = len(val_loader) if hasattr(val_loader, "__len__") else 1
         compute_hd = (self.hausdorff_every > 0
                       and epoch % max(self.hausdorff_every, 1) == 0)
+        regions = []
         for i, batch in enumerate(val_loader):
             self._ensure_state(batch, n)
             m = self._eval_step(self.state, batch)
             losses.append(m["loss"])
             dices.append(m["dice"])
+            regions.append(region_dice(m["pred_labels"], batch["mask"]))
             if compute_hd and i == 0:
                 # real Hausdorff on the whole-tumor mask of batch 0
                 # (replaces the reference's random stub, training.py:369)
@@ -178,11 +181,16 @@ class ModernBrainTumorTrainer:
                 hd = hausdorff_distance(pred, true, percentile=95.0)
                 if np.isfinite(hd):
                     hds.append(hd)
-        return {
+        out = {
             "loss": float(jnp.mean(jnp.stack(losses))) if losses else 0.0,
             "dice": float(jnp.mean(jnp.stack(dices))) if dices else 0.0,
             "hausdorff": float(np.mean(hds)) if hds else float("nan"),
         }
+        # BraTS composite regions (whole tumor / core / enhancing)
+        for name in ("WT", "TC", "ET"):
+            vals = [float(r[name]) for r in regions]
+            out[f"dice_{name}"] = float(np.mean(vals)) if vals else 0.0
+        return out
 
     def train(self, train_loader: Iterable, val_loader: Iterable,
               num_epochs: int = 100) -> Dict[str, list]:

@@ -137,3 +137,15 @@ def test_trainer_metric_shims(rng):
     assert 0.0 <= d <= 1.0
     hd = tr.calculate_hausdorff_distance(logits, targets)
     assert hd > 0.0   # finite or inf, but a real number — never a stub
+
+
+def test_validate_epoch_region_dice(brats_dir):
+    cfg = tiny_config()
+    _, val_loader = create_brats_data_loaders(
+        brats_dir, batch_size=1, num_workers=1, image_size=IMG)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    tr = ModernBrainTumorTrainer(model, config=cfg, hausdorff_every=0)
+    m = tr.validate_epoch(val_loader, epoch=0)
+    for k in ("dice_WT", "dice_TC", "dice_ET"):
+        assert k in m and 0.0 <= m[k] <= 1.0
