@@ -211,6 +211,10 @@ class ModernBrainTumorTrainer:
             self.metrics_history["val_dice"].append(val_m["dice"])
             self.metrics_history["val_hausdorff"].append(val_m["hausdorff"])
             self.metrics_history["learning_rates"].append(lr)
+            for region in ("WT", "TC", "ET"):
+                self.metrics_history.setdefault(
+                    f"val_dice_{region}", []).append(
+                    val_m.get(f"dice_{region}", 0.0))
             self.log_metrics(train_m, val_m, epoch, lr)
 
             logger.info(
