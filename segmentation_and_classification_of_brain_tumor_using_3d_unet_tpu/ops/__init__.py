@@ -2,6 +2,7 @@
 cuDNN backend plays in the reference (SURVEY.md section 2: conv3d, pooling,
 GroupNorm, trilinear interp, AMP)."""
 
+from .edt import edt_squared, hausdorff_distance_device
 from .conv import (Conv1x1, FastConv3D, FastConvTranspose3D, conv1x1,
                    conv3d_zcat, conv_transpose3d_k2s2)
 from .norm import group_norm, batch_norm_infer
@@ -16,6 +17,7 @@ __all__ = [
     "group_norm", "batch_norm_infer",
     "resize_trilinear", "resize_nearest", "adaptive_avg_pool",
     "max_pool3d", "global_avg_pool",
+    "edt_squared", "hausdorff_distance_device",
     "percentile", "percentile_bisect", "percentile_clip",
     "zscore_normalize",
 ]
