@@ -1,0 +1,186 @@
+"""Async host -> HBM data pipeline.
+
+TPU-native replacement for the reference's 4 DataLoader worker processes +
+``pin_memory`` + per-batch ``.to(device)`` (``training.py:576-608, 287-288``):
+
+  host threads decode volumes  ->  bounded queue  ->  ``jax.device_put``
+  (async, double-buffered)     ->  jitted on-device preprocess/augment
+
+The preprocessing chain is split into its deterministic half (percentile
+clip -> z-score -> resize, ``preprocess.normalize_batch``) and its random
+half (``preprocess.augment_batch``). Normalized volumes are cached on
+host after first touch (LRU), so epochs 2+ only pay H2D + augmentation —
+the expensive normalization no longer competes with train steps for the
+device every epoch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import AugmentConfig
+from .dataset import BraTS2024Dataset
+from .preprocess import augment_batch, normalize_batch
+
+_STOP = object()
+
+
+class DeviceDataLoader:
+    """Iterates device-resident, preprocessed batches.
+
+    Yields ``{'image': (B, *image_size, M) float32,
+    'mask': (B, *image_size) int32}`` already on device (optionally
+    placed with ``sharding`` for data-parallel training).
+    """
+
+    def __init__(self, dataset, batch_size: int = 2,
+                 image_size: Tuple[int, int, int] = (128, 128, 128),
+                 augment: bool = False, shuffle: bool = False,
+                 seed: int = 42, num_workers: int = 4,
+                 prefetch: int = 2, drop_last: bool = False,
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 aug_cfg: AugmentConfig = AugmentConfig(),
+                 norm_cache_size: int = 64):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.image_size = tuple(image_size)
+        self.augment = augment
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.aug_cfg = aug_cfg
+        self.norm_cache_size = norm_cache_size
+        self._norm_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cache_lock = threading.Lock()
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    # ------------------------------------------------------------------
+
+    def _load_raw(self, idx: int):
+        it = self.dataset[int(idx)]
+        img = it["image"]
+        mask = it["mask"] if "mask" in it else it["segmentation"]
+        if img.ndim == 3:
+            img = img[..., None]
+        return img.astype(np.float32), mask
+
+    def _get_normalized(self, idx: int):
+        """Host-cached (image float32 (*size, M), mask int32 (*size))."""
+        with self._cache_lock:
+            if idx in self._norm_cache:
+                self._norm_cache.move_to_end(idx)
+                return self._norm_cache[idx]
+        img, mask = self._load_raw(idx)
+        out = normalize_batch(
+            jax.device_put(img[None]),
+            jax.device_put(mask[None].astype(np.int32)),
+            out_size=self.image_size)
+        entry = (np.asarray(out["image"][0], np.float32),
+                 np.asarray(out["mask"][0], np.int32))
+        with self._cache_lock:
+            self._norm_cache[idx] = entry
+            while len(self._norm_cache) > self.norm_cache_size:
+                self._norm_cache.popitem(last=False)
+        return entry
+
+    def _assemble(self, indices) -> Dict[str, np.ndarray]:
+        imgs, masks = [], []
+        for i in indices:
+            img, mask = self._get_normalized(int(i))
+            imgs.append(img)
+            masks.append(mask)
+        return {"image": np.stack(imgs), "mask": np.stack(masks)}
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        self._epoch += 1
+        batches = self._batch_indices()
+        key = jax.random.PRNGKey(self.seed + 1000 * self._epoch)
+        keys = jax.random.split(key, max(len(batches), 1))
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for host in pool.map(self._assemble, batches):
+                        out_q.put(host)
+            except Exception as e:   # surface decode errors to consumer
+                out_q.put(e)
+            finally:
+                out_q.put(_STOP)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        i = 0
+        while True:
+            host = out_q.get()
+            if host is _STOP:
+                break
+            if isinstance(host, Exception):
+                raise host
+            dev_img = jax.device_put(host["image"], self.sharding)
+            dev_mask = jax.device_put(host["mask"], self.sharding)
+            if self.augment:
+                yield augment_batch(dev_img, dev_mask, keys[i],
+                                    aug_cfg=self.aug_cfg)
+            else:
+                yield {"image": dev_img, "mask": dev_mask}
+            i += 1
+
+
+def create_brats_data_loaders(data_dir: str, batch_size: int = 2,
+                              num_workers: int = 4,
+                              image_size: Tuple[int, int, int]
+                              = (128, 128, 128),
+                              seed: int = 42,
+                              sharding: Optional[jax.sharding.Sharding]
+                              = None,
+                              aug_cfg: AugmentConfig = AugmentConfig()
+                              ) -> Tuple[DeviceDataLoader,
+                                         DeviceDataLoader]:
+    """Train/val loader pair (reference ``training.py:576-608``)."""
+    train_ds = BraTS2024Dataset(data_dir, mode="train", augment=True)
+    val_ds = BraTS2024Dataset(data_dir, mode="val", augment=False)
+    train = DeviceDataLoader(
+        train_ds, batch_size=batch_size, image_size=image_size,
+        augment=True, shuffle=True, seed=seed, num_workers=num_workers,
+        drop_last=True, sharding=sharding, aug_cfg=aug_cfg)
+    val = DeviceDataLoader(
+        val_ds, batch_size=batch_size, image_size=image_size,
+        augment=False, shuffle=False, seed=seed,
+        num_workers=num_workers, drop_last=False, sharding=sharding)
+    return train, val
+
+
+def get_data_loader(dataset, batch_size: int = 1, shuffle: bool = False,
+                    **kw) -> DeviceDataLoader:
+    """Thin factory (reference ``utils/data_loader.py:124-134``)."""
+    return DeviceDataLoader(dataset, batch_size=batch_size,
+                            shuffle=shuffle, **kw)
