@@ -47,12 +47,17 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, Dict]:
     parts = body.split(b"--" + boundary)
     out: Dict[str, Dict] = {}
     for part in parts:
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+        # each part is "\r\n<headers>\r\n\r\n<data>\r\n"; the final
+        # element is the "--\r\n" terminator. Remove exactly ONE
+        # delimiter CRLF on each side — stripping all trailing CR/LF
+        # would corrupt binary payloads ending in 0x0A/0x0D.
+        if part.startswith(b"--") or not part:
             continue
+        part = part.removeprefix(b"\r\n")
         if b"\r\n\r\n" not in part:
             continue
         head, data = part.split(b"\r\n\r\n", 1)
+        data = data.removesuffix(b"\r\n")
         headers = head.decode("utf-8", "replace")
         name_m = re.search(r'name="([^"]*)"', headers)
         file_m = re.search(r'filename="([^"]*)"', headers)
@@ -63,6 +68,22 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, Dict]:
             "data": data,
         }
     return out
+
+
+def resolve_under(root: str, user_path: Optional[str]) -> Optional[str]:
+    """Resolve a client-supplied path against *root*, refusing escapes.
+
+    The server binds 0.0.0.0 and the training/synthetic routes accept
+    directory paths from unauthenticated JSON; without this, a request
+    could create directories and write files anywhere the process can.
+    """
+    if not user_path:
+        return None
+    root_abs = os.path.realpath(root)
+    cand = os.path.realpath(os.path.join(root_abs, user_path))
+    if cand != root_abs and not cand.startswith(root_abs + os.sep):
+        raise ValueError(f"path escapes data root: {user_path!r}")
+    return cand
 
 
 def secure_filename(name: str) -> str:
@@ -254,6 +275,15 @@ class BrainTumorApp:
         except json.JSONDecodeError:
             return self._json({"success": False,
                                "error": "invalid JSON"}, 400)
+        try:
+            safe_dir = resolve_under(self.config.data_dir,
+                                     cfg.get("data_dir"))
+        except ValueError as e:
+            return self._json({"success": False, "error": str(e)}, 400)
+        if safe_dir is not None:
+            cfg["data_dir"] = safe_dir
+        else:
+            cfg.pop("data_dir", None)
         session_id = training_manager.start_training_session(cfg)
         return self._json({
             "success": True, "session_id": session_id,
@@ -289,8 +319,14 @@ class BrainTumorApp:
         except json.JSONDecodeError:
             cfg = {}
         n = int(cfg.get("num_samples", 100))
-        out_dir = cfg.get("save_dir", os.path.join(
-            self.config.data_dir, "synthetic", "BraTS2024"))
+        try:
+            out_dir = resolve_under(self.config.data_dir,
+                                    cfg.get("save_dir"))
+        except ValueError as e:
+            return self._json({"success": False, "error": str(e)}, 400)
+        if out_dir is None:
+            out_dir = os.path.join(self.config.data_dir,
+                                   "synthetic", "BraTS2024")
         shape = tuple(cfg.get("shape", (96, 96, 64)))
         create_enhanced_synthetic_data(n, out_dir, shape=shape)
         return self._json({

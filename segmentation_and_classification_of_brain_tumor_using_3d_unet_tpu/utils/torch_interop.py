@@ -217,7 +217,10 @@ def load_torch_checkpoint(path: str, in_channels: int = 4,
     reference trainer's checkpoint dict with ``model_state_dict``,
     ``training.py:396-404``) into (params, batch_stats)."""
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: the expected payload is a state_dict of
+    # tensors (+ scalar metadata); never unpickle arbitrary code from
+    # externally supplied .pth files.
+    obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     return import_unet3d_from_torch(obj, in_channels, features)

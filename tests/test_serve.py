@@ -27,7 +27,8 @@ def app(tmp_path_factory):
                                   compute_dtype="float32", remat=False),
         data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)),
         inference=dataclasses.replace(cfg.inference,
-                                      roi_size=(16, 16, 16)))
+                                      roi_size=(16, 16, 16)),
+        data_dir=str(tmp_path_factory.mktemp("dataroot")))
     up = str(tmp_path_factory.mktemp("uploads"))
     return BrainTumorApp(cfg, upload_dir=up,
                          predictor=Predictor(cfg))
@@ -72,6 +73,21 @@ def test_multipart_parser():
     assert fields["demo"]["data"] == b"1"
     assert fields["file"]["filename"] == "scan.nii"
     assert fields["file"]["data"] == b"BINARY\x00DATA"
+
+
+def test_multipart_preserves_trailing_crlf_bytes():
+    """Only the single delimiter CRLF may be removed: gzip/NIfTI
+    payloads legitimately end in 0x0A/0x0D bytes."""
+    boundary = "XBOUND"
+    payload = b"ABC\n\r\n\r\n"          # real data ends with \n\r\n\r\n
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; '
+        'filename="x.nii.gz"\r\n\r\n'
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(
+        body, f'multipart/form-data; boundary={boundary}')
+    assert fields["file"]["data"] == payload
 
 
 def test_secure_filename():
@@ -176,15 +192,35 @@ def test_start_training_route_real_mode(app):
     assert prog["current_epoch"] == 1
 
 
-def test_generate_synthetic_route(app, tmp_path):
+def test_generate_synthetic_route(app):
     status, _, payload = _post_json(app, "/generate_synthetic_data", {
-        "num_samples": 2, "save_dir": str(tmp_path / "gen"),
+        "num_samples": 2, "save_dir": "gen",
         "shape": [16, 16, 16],
     })
     j = json.loads(payload)
     assert j["success"] and j["num_samples"] == 2
     import os
-    assert os.path.isdir(str(tmp_path / "gen" / "train"))
+    assert os.path.isdir(os.path.join(app.config.data_dir, "gen",
+                                      "train"))
+
+
+def test_generate_synthetic_rejects_path_escape(app, tmp_path):
+    """save_dir/data_dir from unauthenticated JSON must stay under the
+    configured data root (directory-traversal guard)."""
+    import os
+    status, _, payload = _post_json(app, "/generate_synthetic_data", {
+        "num_samples": 1, "save_dir": str(tmp_path / "outside"),
+    })
+    assert status == 400 and not json.loads(payload)["success"]
+    assert not os.path.exists(str(tmp_path / "outside"))
+    status, _, payload = _post_json(app, "/generate_synthetic_data", {
+        "num_samples": 1, "save_dir": "../escape",
+    })
+    assert status == 400
+    status, _, payload = _post_json(app, "/start_training", {
+        "mode": "demo", "epochs": 1, "data_dir": "/etc",
+    })
+    assert status == 400 and not json.loads(payload)["success"]
 
 
 def test_medical_metrics_real_vs_estimated(rng):
