@@ -234,9 +234,14 @@ class UNet3D(nn.Module):
             h = nn.Conv(feats[0] // 2, (3, 3, 3), padding="SAME",
                         kernel_init=KAIMING, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="head_conv")(x)
+        # At eval BatchNorm is a per-channel affine from running stats;
+        # computing it in bf16 (f32 params) avoids a full-res f32
+        # round-trip of the head activations (~5 ms/volume at 240^3).
+        # Training keeps f32 batch-stats for stability.
+        bn_dtype = jnp.float32 if train else self.dtype
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="head_bn")(h.astype(jnp.float32))
+                         epsilon=1e-5, dtype=bn_dtype,
+                         name="head_bn")(h.astype(bn_dtype))
         h = nn.relu(h).astype(self.dtype)
         if self.fast:
             logits = Conv1x1(self.out_channels, kernel_init=KAIMING,
