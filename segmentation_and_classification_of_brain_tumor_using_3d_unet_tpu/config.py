@@ -129,6 +129,10 @@ class InferenceConfig:
     sw_batch_size: int = 4
     blend_mode: str = "gaussian"     # "gaussian" | "constant"
     gaussian_sigma_scale: float = 0.125
+    # segmentation path for /upload: "sliding_window" keeps native
+    # resolution (north star); "whole_volume" reproduces the
+    # reference's destructive zoom-to-model-size semantics
+    upload_mode: str = "sliding_window"
 
 
 @dataclass(frozen=True)

@@ -29,16 +29,19 @@ Array = jax.Array
 
 
 def preprocess_image(vol: Array,
-                     out_size: Tuple[int, int, int] = (128, 128, 128),
+                     out_size: Optional[Tuple[int, int, int]] = (128,
+                                                                 128, 128),
                      clip: Tuple[float, float] = (1.0, 99.0)) -> Array:
     """Single-modality chain (reference ``training.py:117-132``):
     clip -> z-score -> resize. Input (D,H,W) or (D,H,W,1); output
-    (*out_size,) float32."""
+    (*out_size,) float32. ``out_size=None`` keeps native resolution
+    (no destructive zoom) for sliding-window inference."""
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[..., None]
     vol = zscore_normalize(percentile_clip(vol, *clip))
-    vol = resize_trilinear(vol[None], out_size)[0]
+    if out_size is not None and tuple(out_size) != vol.shape[:3]:
+        vol = resize_trilinear(vol[None], out_size)[0]
     return vol[..., 0] if squeeze else vol
 
 

@@ -97,7 +97,7 @@ class Predictor:
         return np.asarray(jnp.argmax(logits, axis=-1), np.int8)
 
     def segment_with_confidence(self, volume: np.ndarray,
-                                mode: str = "whole_volume"
+                                mode: str = "sliding_window"
                                 ) -> Tuple[np.ndarray, np.ndarray]:
         """(labels int8, per-voxel max-softmax confidence float32)."""
         vol = jnp.asarray(volume, jnp.float32)
@@ -154,12 +154,16 @@ class Predictor:
 
 def preprocess_image(path_or_array, target_size=(128, 128, 128)
                      ) -> np.ndarray:
-    """File/array -> normalized (D,H,W) float32 at target size (reference
+    """File/array -> normalized (D,H,W) float32 (reference
     ``main.py:356-380``: NIfTI via codec, 2D images stacked, z-score,
-    zoom)."""
+    zoom). ``target_size=None`` keeps the native resolution so the
+    sliding-window engine can segment at full res (the reference always
+    zooms destructively to model size)."""
     from ..data.dataset import load_any_volume
     vol = (load_any_volume(path_or_array)
            if isinstance(path_or_array, str) else
            np.asarray(path_or_array, np.float32))
-    out = np.asarray(_pre_chain(jnp.asarray(vol), tuple(target_size)))
+    out = np.asarray(_pre_chain(
+        jnp.asarray(vol),
+        None if target_size is None else tuple(target_size)))
     return out.astype(np.float32)

