@@ -83,10 +83,16 @@ def hausdorff_distance_device(pred: Array, target: Array,
             return jnp.max(vals)
         flat = jnp.sort(vals.reshape(-1))            # -1 pad sorts first
         n_src = jnp.sum(src)
-        # index of the q-th percentile among the n_src valid entries
-        k = (flat.shape[0] - n_src
-             + (percentile / 100.0) * (n_src - 1)).astype(jnp.int32)
-        return flat[jnp.clip(k, 0, flat.shape[0] - 1)]
+        # linearly interpolated percentile over the n_src valid entries
+        # (matches np.percentile's default method)
+        pos = ((flat.shape[0] - n_src).astype(jnp.float32)
+               + (percentile / 100.0)
+               * (n_src - 1).astype(jnp.float32))
+        k0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - k0.astype(jnp.float32)
+        v0 = flat[jnp.clip(k0, 0, flat.shape[0] - 1)]
+        v1 = flat[jnp.clip(k0 + 1, 0, flat.shape[0] - 1)]
+        return v0 * (1.0 - frac) + v1 * frac
 
     hd = jnp.maximum(directed(d_to_t, p), directed(d_to_p, t))
     empty = (~jnp.any(p)) | (~jnp.any(t))

@@ -136,9 +136,17 @@ def make_joint_train_step(config: Config, num_classes: int = 4,
 
 
 def make_eval_step(config: Config, num_classes: int = 4,
-                   mesh: Optional[Mesh] = None) -> Callable:
-    """Returns ``eval_step(state, batch) -> metrics`` (loss, dice,
-    per-class argmax labels for host-side Hausdorff)."""
+                   mesh: Optional[Mesh] = None,
+                   with_hausdorff: bool = False,
+                   hd_percentile: float = 95.0) -> Callable:
+    """Returns ``eval_step(state, batch) -> metrics``: loss, mean dice,
+    WT/TC/ET region dice, argmax labels — and, when ``with_hausdorff``,
+    per-sample HD95 via the exact on-device EDT (``ops/edt.py``),
+    replacing both the reference's random stub (``training.py:369``)
+    and the round-1 host-side batch-0 sampling. Everything stays on
+    device: the trainer syncs once per epoch."""
+    from ..metrics import region_dice
+    from ..ops.edt import hausdorff_distance_device
     loss_fn = make_loss_fn(config)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
@@ -149,17 +157,28 @@ def make_eval_step(config: Config, num_classes: int = 4,
             images, train=False)
         loss = loss_fn(out, targets)
         labels = jnp.argmax(out["logits"], axis=-1)
-        return {
+        metrics = {
             "loss": loss,
             "dice": mean_foreground_dice(labels, targets, num_classes),
             "pred_labels": labels,
         }
+        for name, val in region_dice(labels, targets).items():
+            metrics[f"dice_{name}"] = val
+        if with_hausdorff:
+            metrics["hausdorff"] = jax.vmap(
+                lambda p, t: hausdorff_distance_device(
+                    p > 0, t > 0, percentile=hd_percentile))(
+                labels, targets)
+        return metrics
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated
         bs, rep = batch_sharding(mesh), replicated(mesh)
+        outs = {"loss": rep, "dice": rep, "pred_labels": bs,
+                "dice_WT": rep, "dice_TC": rep, "dice_ET": rep}
+        if with_hausdorff:
+            outs["hausdorff"] = bs
         return jax.jit(step,
                        in_shardings=(rep, {"image": bs, "mask": bs}),
-                       out_shardings={"loss": rep, "dice": rep,
-                                      "pred_labels": bs})
+                       out_shardings=outs)
     return jax.jit(step)

@@ -14,8 +14,10 @@ TPU re-design:
     and fetched once per epoch.
   * LR schedule is a pure function of the step inside the optimizer
     (``state.cosine_warm_restarts``) — no host scheduler object.
-  * Hausdorff is REAL (EDT-based, ``metrics.hausdorff_distance``),
-    fixing the reference's random stub (``training.py:366-369``).
+  * Hausdorff is REAL: validation computes HD95 over EVERY sample via
+    the exact on-device separable EDT (``ops/edt.py``) inside the
+    jitted eval step, fixing the reference's random stub
+    (``training.py:366-369``); ``hausdorff_every`` gates the cadence.
   * optional ``mesh`` => data-parallel SPMD over ICI.
 """
 
@@ -32,8 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..metrics import (hausdorff_distance, mean_foreground_dice,
-                       region_dice)
+from ..metrics import hausdorff_distance, mean_foreground_dice
 from . import checkpoints
 from .loop import make_eval_step, make_train_step
 from .state import TrainState, create_train_state, current_lr
@@ -119,6 +120,9 @@ class ModernBrainTumorTrainer:
         self._eval_step = make_eval_step(
             self.config, num_classes=batch_num_classes(self.model),
             mesh=self.mesh)
+        self._eval_step_hd = make_eval_step(
+            self.config, num_classes=batch_num_classes(self.model),
+            mesh=self.mesh, with_hausdorff=True)
         if self._pending_resume:
             self.state, meta = checkpoints.restore_checkpoint(
                 self._pending_resume, self.state)
@@ -162,34 +166,40 @@ class ModernBrainTumorTrainer:
 
     def validate_epoch(self, val_loader: Iterable, epoch: int = 0
                        ) -> Dict[str, float]:
+        """Everything — loss, dice, WT/TC/ET region dice, and HD95 over
+        ALL validation samples via the exact on-device EDT — is computed
+        inside the jitted eval step; one host sync at epoch end."""
         losses, dices, hds = [], [], []
         n = len(val_loader) if hasattr(val_loader, "__len__") else 1
         compute_hd = (self.hausdorff_every > 0
                       and epoch % max(self.hausdorff_every, 1) == 0)
-        regions = []
-        for i, batch in enumerate(val_loader):
+        regions = {k: [] for k in ("WT", "TC", "ET")}
+        for batch in val_loader:
             self._ensure_state(batch, n)
-            m = self._eval_step(self.state, batch)
+            step = self._eval_step_hd if compute_hd else self._eval_step
+            m = step(self.state, batch)
             losses.append(m["loss"])
             dices.append(m["dice"])
-            regions.append(region_dice(m["pred_labels"], batch["mask"]))
-            if compute_hd and i == 0:
-                # real Hausdorff on the whole-tumor mask of batch 0
-                # (replaces the reference's random stub, training.py:369)
-                pred = np.asarray(m["pred_labels"][0]) > 0
-                true = np.asarray(batch["mask"][0]) > 0
-                hd = hausdorff_distance(pred, true, percentile=95.0)
-                if np.isfinite(hd):
-                    hds.append(hd)
+            for name in regions:
+                regions[name].append(m[f"dice_{name}"])
+            if compute_hd:
+                hds.append(m["hausdorff"])
+        # ---- single host sync per epoch ----
+        if compute_hd and hds:
+            hd_all = np.asarray(jnp.concatenate(hds))
+            hd_fin = hd_all[np.isfinite(hd_all)]
+            hd_out = float(hd_fin.mean()) if hd_fin.size else float("nan")
+        else:
+            hd_out = float("nan")
         out = {
             "loss": float(jnp.mean(jnp.stack(losses))) if losses else 0.0,
             "dice": float(jnp.mean(jnp.stack(dices))) if dices else 0.0,
-            "hausdorff": float(np.mean(hds)) if hds else float("nan"),
+            "hausdorff": hd_out,
         }
         # BraTS composite regions (whole tumor / core / enhancing)
-        for name in ("WT", "TC", "ET"):
-            vals = [float(r[name]) for r in regions]
-            out[f"dice_{name}"] = float(np.mean(vals)) if vals else 0.0
+        for name, vals in regions.items():
+            out[f"dice_{name}"] = (
+                float(jnp.mean(jnp.stack(vals))) if vals else 0.0)
         return out
 
     def train(self, train_loader: Iterable, val_loader: Iterable,
