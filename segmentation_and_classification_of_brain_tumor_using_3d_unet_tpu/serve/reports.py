@@ -98,8 +98,10 @@ def calculate_medical_metrics(image_data: np.ndarray,
 
 
 def _surface_area(mask: np.ndarray) -> float:
-    from ..utils.mesh import surface_area_voxel
-    return surface_area_voxel(mask)
+    # smooth (marching-cubes-quality) estimator; the voxel-face count
+    # overestimates ~1.5x and skewed compactness/risk vs the reference
+    from ..utils.mesh import isosurface_area
+    return isosurface_area(mask)
 
 
 def generate_clinical_report(metrics: Dict,

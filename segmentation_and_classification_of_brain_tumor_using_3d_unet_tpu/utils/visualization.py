@@ -179,15 +179,16 @@ class ModernMedicalVisualizer:
                                        min_voxels: int = 100) -> str:
         """Per-class isosurface -> plotly Mesh3d HTML (capability parity
         with reference ``utils/visualization.py:153-209``; skips classes
-        < min_voxels). Uses the native voxel-surface mesher."""
-        from .mesh import voxel_surface_mesh
+        < min_voxels). Uses the smooth marching-tetrahedra mesher
+        (marching-cubes-quality surfaces, not blocky voxel faces)."""
+        from .mesh import smooth_surface_mesh
         seg = np.asarray(segmentation)
         data = []
         for cls in (1, 2, 3):
             mask = seg == cls
             if mask.sum() < min_voxels:
                 continue
-            verts, faces = voxel_surface_mesh(mask)
+            verts, faces = smooth_surface_mesh(mask)
             if len(faces) == 0:
                 continue
             data.append({

@@ -126,3 +126,39 @@ def test_voxel_mesh_cube():
     assert len(verts) == 56        # (4^3 - 2^3) cube-surface corner grid
     empty_v, empty_f = voxel_surface_mesh(np.zeros((3, 3, 3), bool))
     assert len(empty_v) == 0 and len(empty_f) == 0
+
+
+def test_isosurface_area_sphere_accuracy():
+    """Smooth surface estimator within a few % of the analytic value
+    (VERDICT round-1 item 8: voxel faces overestimated ~1.5x, skewing
+    compactness -> risk_score vs the reference's marching cubes)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.utils.mesh import (
+        isosurface_area)
+    for r in (6, 10, 16):
+        n = 2 * r + 10
+        g = np.mgrid[:n, :n, :n] - n // 2
+        mask = (g ** 2).sum(0) <= r * r
+        analytic = 4.0 * np.pi * r * r
+        got = isosurface_area(mask)
+        assert abs(got / analytic - 1.0) < 0.03, (r, got, analytic)
+
+
+def test_marching_tetrahedra_watertight_and_smooth_mesh():
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.utils.mesh import (
+        marching_tetrahedra, smooth_surface_mesh, mesh_surface_area)
+    g = np.mgrid[:24, :24, :24] - 12
+    mask = (g ** 2).sum(0) <= 64
+    verts, faces = marching_tetrahedra(mask.astype(np.float32), 0.5)
+    assert len(faces) > 0
+    edges = np.sort(np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()          # closed surface
+    sv, sf = smooth_surface_mesh(mask)
+    assert len(sf) > 0
+    # the smooth mesh area is close to analytic, unlike the voxel mesh
+    analytic = 4.0 * np.pi * 64
+    assert abs(mesh_surface_area(sv, sf) / analytic - 1.0) < 0.12
+    # empty mask
+    ev, ef = smooth_surface_mesh(np.zeros((4, 4, 4), bool))
+    assert len(ev) == 0 and len(ef) == 0
