@@ -92,12 +92,49 @@ def create_2d_slices_from_3d(volume: np.ndarray,
     return out
 
 
+def elastic_transform_2d(image: np.ndarray,
+                         mask: Optional[np.ndarray] = None,
+                         alpha: float = 40.0, sigma: float = 6.0,
+                         rng: Optional[np.random.Generator] = None):
+    """Elastic deformation (Simard 2003): a Gaussian-smoothed random
+    displacement field of magnitude ``alpha`` warps the image
+    (bilinear) and mask (nearest). Parity with the albumentations
+    ``ElasticTransform`` in the reference 2D pipeline
+    (``data_utils.py:81-93``)."""
+    from scipy import ndimage
+    rng = rng or np.random.default_rng()
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    dx = ndimage.gaussian_filter(
+        rng.uniform(-1, 1, (h, w)), sigma, mode="constant") * alpha
+    dy = ndimage.gaussian_filter(
+        rng.uniform(-1, 1, (h, w)), sigma, mode="constant") * alpha
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = [yy + dy, xx + dx]
+
+    def warp(a, order):
+        if a.ndim == 2:
+            return ndimage.map_coordinates(a, coords, order=order,
+                                           mode="reflect")
+        return np.stack([ndimage.map_coordinates(
+            a[..., c], coords, order=order, mode="reflect")
+            for c in range(a.shape[-1])], axis=-1)
+
+    out = warp(img, 1)
+    if mask is None:
+        return out
+    return out, warp(np.asarray(mask, np.float32), 0).astype(
+        np.asarray(mask).dtype)
+
+
 def get_2d_augmentations(flip_prob: float = 0.5, rot_prob: float = 0.5,
-                         brightness: float = 0.2, noise_sigma: float = 0.03
-                         ) -> Callable:
-    """2D augmentation pipeline (self-contained; reference relies on
-    albumentations, ``data_utils.py:81-93``). Returns
-    ``fn(image, mask=None, rng=None)``."""
+                         brightness: float = 0.2, noise_sigma: float = 0.03,
+                         elastic_prob: float = 0.3,
+                         elastic_alpha: float = 40.0,
+                         elastic_sigma: float = 6.0) -> Callable:
+    """2D augmentation pipeline incl. elastic deformation
+    (self-contained; reference relies on albumentations,
+    ``data_utils.py:81-93``). Returns ``fn(image, mask=None, rng=None)``."""
 
     def apply(image, mask=None, rng=None):
         rng = rng or np.random.default_rng()
@@ -113,6 +150,15 @@ def get_2d_augmentations(flip_prob: float = 0.5, rot_prob: float = 0.5,
             k = int(rng.integers(1, 4))
             img = np.rot90(img, k)
             m = None if m is None else np.rot90(m, k)
+        if elastic_prob and rng.random() < elastic_prob:
+            if m is None:
+                img = elastic_transform_2d(
+                    img, alpha=elastic_alpha, sigma=elastic_sigma,
+                    rng=rng)
+            else:
+                img, m = elastic_transform_2d(
+                    img, m, alpha=elastic_alpha, sigma=elastic_sigma,
+                    rng=rng)
         if brightness:
             img = img * float(1.0 + rng.uniform(-brightness, brightness))
         if noise_sigma:

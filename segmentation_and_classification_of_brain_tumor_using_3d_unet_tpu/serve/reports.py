@@ -109,8 +109,15 @@ def generate_clinical_report(metrics: Dict,
                              filename: str = "unknown",
                              classifier_confidence: Optional[float] = None
                              ) -> Dict:
-    """Volume-ladder diagnosis + findings/recommendations
-    (reference ``main.py:912-1033``), deterministic."""
+    """Volume-ladder diagnosis + findings/recommendations, deterministic.
+
+    The diagnosis names, findings sentences, and recommendations below
+    are a STRING TABLE reproduced from the reference
+    (``main.py:915-1010``) for output parity: the /upload JSON contract
+    exposes this prose verbatim and downstream consumers may match on
+    it. The surrounding logic is new (deterministic confidence from the
+    classifier softmax instead of random draws, NaN-safe formatting,
+    honest ``estimated`` flags)."""
     tumor_volume = float(metrics.get("tumor_volume_mm3", 0.0))
 
     if tumor_volume > 15_000:

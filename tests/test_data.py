@@ -184,3 +184,39 @@ def test_split_layout_missing_val_is_empty(tmp_path):
     shutil.rmtree(str(tmp_path / "B" / "val"))
     val = BraTS2024Dataset(d, mode="val")
     assert len(val) == 0   # no silent reuse of train patients
+
+
+def test_elastic_transform_2d_displacement_behaviour(rng):
+    """Elastic warp (VERDICT round-1 item 9): identity at alpha=0,
+    measurable displacement at alpha>0, mask warped with nearest
+    (labels preserved), shapes unchanged."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.data_utils import (
+        elastic_transform_2d, get_2d_augmentations)
+    img = rng.normal(size=(48, 48)).astype(np.float32)
+    mask = (rng.random((48, 48)) > 0.7).astype(np.int32) * 2
+
+    out = elastic_transform_2d(img, alpha=0.0, rng=np.random.default_rng(0))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+    # a grid image reveals the displacement field
+    grid = np.zeros((64, 64), np.float32)
+    grid[::8, :] = 1.0
+    grid[:, ::8] = 1.0
+    warped = elastic_transform_2d(grid, alpha=30.0, sigma=5.0,
+                                  rng=np.random.default_rng(1))
+    assert warped.shape == grid.shape
+    assert np.abs(warped - grid).mean() > 0.01      # actually moved
+    assert warped.min() >= -1e-4 and warped.max() <= 1.0 + 1e-4  # interp
+
+    wi, wm = elastic_transform_2d(img, mask, alpha=20.0, sigma=5.0,
+                                  rng=np.random.default_rng(2))
+    assert wi.shape == img.shape and wm.shape == mask.shape
+    assert set(np.unique(wm)) <= set(np.unique(mask))   # nearest labels
+    assert wm.dtype == mask.dtype
+
+    aug = get_2d_augmentations(flip_prob=0.0, rot_prob=0.0,
+                               brightness=0.0, noise_sigma=0.0,
+                               elastic_prob=1.0)
+    ai, am = aug(img, mask, rng=np.random.default_rng(3))
+    assert ai.shape == img.shape and am.shape == mask.shape
+    assert np.abs(ai - img).mean() > 1e-4

@@ -179,3 +179,68 @@ def test_validate_epoch_device_hausdorff_matches_host(brats_dir):
                                    rtol=1e-4, atol=1e-4)
     else:
         assert np.isnan(m["hausdorff"])
+
+
+def test_experiment_tracking_sinks(tmp_path):
+    """wandb/TensorBoard logging paths (VERDICT round-1 item 10: the one
+    untested SURVEY 2.5 row) with mock sinks."""
+    import sys
+    import types
+
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+
+    calls = {"scalar": [], "log": [], "init": []}
+
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.init = lambda **kw: calls["init"].append(kw)
+    fake_wandb.log = lambda d: calls["log"].append(d)
+    old = sys.modules.get("wandb")
+    sys.modules["wandb"] = fake_wandb
+    try:
+        tr = ModernBrainTumorTrainer(model, config=cfg, use_wandb=True)
+    finally:
+        if old is None:
+            sys.modules.pop("wandb", None)
+        else:
+            sys.modules["wandb"] = old
+    assert calls["init"] and calls["init"][0]["project"] == \
+        "brain-tumor-segmentation"
+    assert tr.wandb is fake_wandb
+
+    class FakeWriter:
+        def add_scalar(self, tag, value, step):
+            calls["scalar"].append((tag, float(value), step))
+
+    tr.writer = FakeWriter()
+    tr.log_metrics({"loss": 0.5, "dice": 0.4},
+                   {"loss": 0.6, "dice": 0.3}, epoch=3, lr=1e-4)
+    tags = {t for t, _, _ in calls["scalar"]}
+    assert tags == {"Loss/Train", "Loss/Val", "Dice/Train", "Dice/Val",
+                    "LR"}
+    assert all(s == 3 for _, _, s in calls["scalar"])
+    assert calls["log"] and calls["log"][0]["epoch"] == 3
+    assert calls["log"][0]["val_dice"] == 0.3
+
+
+def test_tracking_degrades_without_sinks(tmp_path, monkeypatch):
+    """TensorBoard (torch) must stay an OPTIONAL dependency: tracker
+    setup degrades to None sinks instead of raising."""
+    import builtins
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **kw):
+        if name.startswith("torch") or name == "wandb":
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    tr = ModernBrainTumorTrainer(model, config=cfg, use_wandb=True)
+    assert tr.writer is None and tr.wandb is None
+    # logging with no sinks is a no-op, not an error
+    tr.log_metrics({"loss": 1.0, "dice": 0.0},
+                   {"loss": 1.0, "dice": 0.0}, epoch=0, lr=1e-4)
