@@ -29,6 +29,22 @@ from . import nifti
 
 _VOLUME_EXTS = (".nii.gz", ".nii", ".npy")
 
+_POOL: Optional["ThreadPoolExecutor"] = None
+_POOL_LOCK = threading.Lock()
+
+
+def _decode_pool():
+    """Shared decode pool, sized to the host (min 2, max 8 workers);
+    created lazily so import stays fork-safe."""
+    global _POOL
+    with _POOL_LOCK:
+        if _POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+            workers = max(2, min(8, os.cpu_count() or 2))
+            _POOL = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="nifti-decode")
+    return _POOL
+
 
 def load_any_volume(path: str) -> np.ndarray:
     """Decode .nii/.nii.gz/.npy (and 2D images via PIL) to float32.
@@ -124,8 +140,13 @@ class BraTS2024Dataset:
                 self._cache.move_to_end(idx)
                 return self._cache[idx]
         entry = self.samples[idx]
-        vols = [load_any_volume(entry[m]) for m in self.modalities]
-        seg = load_any_volume(entry["seg"]).astype(np.uint8)
+        # decode the 4 modalities + seg concurrently: both the native
+        # reader (ctypes) and gzip/zlib release the GIL, so per-modality
+        # inflate overlaps on multi-core hosts (the decode tail was the
+        # first-epoch bottleneck, benchmarks/RESULTS.md host section)
+        paths = [entry[m] for m in self.modalities] + [entry["seg"]]
+        decoded = list(_decode_pool().map(load_any_volume, paths))
+        vols, seg = decoded[:-1], decoded[-1].astype(np.uint8)
         item = {
             "image": np.stack(vols, axis=-1),       # (D,H,W,M)
             "mask": seg,                            # raw labels, incl. 4

@@ -26,6 +26,7 @@ import jax
 import numpy as np
 
 from ..config import AugmentConfig
+from ..inference import cropping
 from .dataset import BraTS2024Dataset
 from .preprocess import augment_batch, normalize_batch
 
@@ -47,10 +48,14 @@ class DeviceDataLoader:
                  prefetch: int = 2, drop_last: bool = False,
                  sharding: Optional[jax.sharding.Sharding] = None,
                  aug_cfg: AugmentConfig = AugmentConfig(),
-                 norm_cache_size: int = 64):
+                 norm_cache_size: int = 64,
+                 patch_size: Optional[Tuple[int, int, int]] = None,
+                 fg_patch_prob: float = 0.5):
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_size = tuple(image_size)
+        self.patch_size = tuple(patch_size) if patch_size else None
+        self.fg_patch_prob = float(fg_patch_prob)
         self.augment = augment
         self.shuffle = shuffle
         self.seed = seed
@@ -92,28 +97,79 @@ class DeviceDataLoader:
         return img.astype(np.float32), mask
 
     def _get_normalized(self, idx: int):
-        """Host-cached (image float32 (*size, M), mask int32 (*size))."""
+        """Host-cached (image float32, mask int32[, fg coords]).
+
+        Whole-volume mode: resized to ``image_size`` (reference
+        semantics). Patch mode: native resolution, cropped to the raw
+        nonzero bounding box (nnU-Net preprocessing), plus a subsampled
+        table of foreground voxel coordinates for biased sampling.
+        """
         with self._cache_lock:
             if idx in self._norm_cache:
                 self._norm_cache.move_to_end(idx)
                 return self._norm_cache[idx]
         img, mask = self._load_raw(idx)
-        out = normalize_batch(
-            jax.device_put(img[None]),
-            jax.device_put(mask[None].astype(np.int32)),
-            out_size=self.image_size)
-        entry = (np.asarray(out["image"][0], np.float32),
-                 np.asarray(out["mask"][0], np.int32))
+        if self.patch_size is None:
+            out = normalize_batch(
+                jax.device_put(img[None]),
+                jax.device_put(mask[None].astype(np.int32)),
+                out_size=self.image_size)
+            entry = (np.asarray(out["image"][0], np.float32),
+                     np.asarray(out["mask"][0], np.int32))
+        else:
+            # bbox from the RAW image (z-scoring shifts exact zeros)
+            lo, hi = cropping.nonzero_bbox(img)
+            sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+            out = normalize_batch(
+                jax.device_put(img[sl][None]),
+                jax.device_put(np.ascontiguousarray(
+                    mask[sl])[None].astype(np.int32)),
+                out_size=None)
+            nimg = np.asarray(out["image"][0], np.float32)
+            nmask = np.asarray(out["mask"][0], np.int32)
+            fg = np.argwhere(nmask > 0).astype(np.int32)
+            if len(fg) > 4096:
+                fg = fg[:: len(fg) // 4096 + 1]
+            entry = (nimg, nmask, fg)
         with self._cache_lock:
             self._norm_cache[idx] = entry
             while len(self._norm_cache) > self.norm_cache_size:
                 self._norm_cache.popitem(last=False)
         return entry
 
+    def _sample_patch(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """One foreground-biased random patch (nnU-Net oversampling: a
+        ``fg_patch_prob`` fraction of patches is centred on a random
+        tumor voxel so the loss always sees foreground)."""
+        img, mask, fg = self._get_normalized(idx)
+        ps = self.patch_size
+        rng = np.random.default_rng(
+            self.seed * 1_000_003 + self._epoch * 10_007 + idx)
+        shape = mask.shape
+        if len(fg) and rng.random() < self.fg_patch_prob:
+            center = fg[rng.integers(len(fg))]
+            starts = [int(np.clip(c - p // 2, 0, max(s - p, 0)))
+                      for c, p, s in zip(center, ps, shape)]
+        else:
+            starts = [int(rng.integers(0, max(s - p, 0) + 1))
+                      for p, s in zip(ps, shape)]
+        sl = tuple(slice(st, min(st + p, s))
+                   for st, p, s in zip(starts, ps, shape))
+        pimg = img[sl]
+        pmask = mask[sl]
+        pads = [(0, p - (s.stop - s.start)) for p, s in zip(ps, sl)]
+        if any(p[1] for p in pads):
+            pimg = np.pad(pimg, pads + [(0, 0)])
+            pmask = np.pad(pmask, pads)
+        return pimg, pmask
+
     def _assemble(self, indices) -> Dict[str, np.ndarray]:
         imgs, masks = [], []
         for i in indices:
-            img, mask = self._get_normalized(int(i))
+            if self.patch_size is not None:
+                img, mask = self._sample_patch(int(i))
+            else:
+                img, mask = self._get_normalized(int(i))
             imgs.append(img)
             masks.append(mask)
         return {"image": np.stack(imgs), "mask": np.stack(masks)}
@@ -162,16 +218,25 @@ def create_brats_data_loaders(data_dir: str, batch_size: int = 2,
                               seed: int = 42,
                               sharding: Optional[jax.sharding.Sharding]
                               = None,
-                              aug_cfg: AugmentConfig = AugmentConfig()
+                              aug_cfg: AugmentConfig = AugmentConfig(),
+                              patch_size: Optional[
+                                  Tuple[int, int, int]] = None,
+                              fg_patch_prob: float = 0.5
                               ) -> Tuple[DeviceDataLoader,
                                          DeviceDataLoader]:
-    """Train/val loader pair (reference ``training.py:576-608``)."""
+    """Train/val loader pair (reference ``training.py:576-608``).
+
+    ``patch_size`` switches the TRAIN loader to nnU-Net-style native-
+    resolution patch sampling (foreground-biased random crops instead of
+    whole-volume resize); validation stays whole-volume for comparable
+    epoch metrics."""
     train_ds = BraTS2024Dataset(data_dir, mode="train", augment=True)
     val_ds = BraTS2024Dataset(data_dir, mode="val", augment=False)
     train = DeviceDataLoader(
         train_ds, batch_size=batch_size, image_size=image_size,
         augment=True, shuffle=True, seed=seed, num_workers=num_workers,
-        drop_last=True, sharding=sharding, aug_cfg=aug_cfg)
+        drop_last=True, sharding=sharding, aug_cfg=aug_cfg,
+        patch_size=patch_size, fg_patch_prob=fg_patch_prob)
     val = DeviceDataLoader(
         val_ds, batch_size=batch_size, image_size=image_size,
         augment=False, shuffle=False, seed=seed,

@@ -56,11 +56,13 @@ def preprocess_multimodal(vols: Array,
 
 
 def preprocess_segmentation(seg: Array,
-                            out_size: Tuple[int, int, int] = (128, 128, 128)
-                            ) -> Array:
+                            out_size: Optional[Tuple[int, int, int]]
+                            = (128, 128, 128)) -> Array:
     """Label chain (reference ``training.py:134-146``): BraTS label 4 -> 3,
-    nearest resize, int32."""
+    nearest resize, int32. ``out_size=None`` keeps native resolution."""
     seg = jnp.where(seg == 4, 3, seg).astype(jnp.int32)
+    if out_size is None:
+        return seg
     return resize_nearest(seg[None, ..., None], out_size)[0, ..., 0]
 
 

@@ -23,6 +23,7 @@ from ..config import CLASS_NAMES, Config
 from ..data.preprocess import preprocess_image as _pre_chain
 from ..models import BrainTumorClassifier, UNet3D
 from ..ops.resize import resize_trilinear
+from . import cropping
 from .sliding_window import make_sw_predictor
 
 Array = jax.Array
@@ -81,38 +82,64 @@ class Predictor:
         logits = out["logits"]
         return resize_trilinear(logits, volume.shape[:3])[0]
 
-    def segment_tumor(self, volume: np.ndarray,
-                      mode: str = "sliding_window") -> np.ndarray:
-        """Volume (D,H,W) or (D,H,W,C) -> int8 label map at input res."""
-        vol = jnp.asarray(volume, jnp.float32)
+    def _canon(self, volume: np.ndarray) -> np.ndarray:
+        """(D,H,W[,C]) host array -> (D,H,W,in_channels) float32."""
+        vol = np.asarray(volume, np.float32)
         if vol.ndim == 3:
             vol = vol[..., None]
         want_c = self.config.model.in_channels
         if vol.shape[-1] != want_c:
-            vol = jnp.repeat(vol[..., :1], want_c, axis=-1)
+            vol = np.repeat(vol[..., :1], want_c, axis=-1)
+        return vol
+
+    def _segment_logits(self, vol: np.ndarray, mode: str
+                        ) -> Tuple[Array, Optional[Tuple]]:
+        """Route one canonical volume to a segmentation path. Returns
+        (logits, crop_plan) — crop_plan is (offsets, full_shape) when the
+        logits cover only the foreground window, else None."""
+        if mode == "cropped":
+            offs, bucket = cropping.plan_crop(
+                vol, multiple=16,
+                min_size=min(self.config.inference.roi_size))
+            crop = cropping.extract_crop(vol, offs, bucket)
+            return self._sw(jnp.asarray(crop)), (offs, vol.shape[:3])
         if mode == "sliding_window":
-            logits = self._sw(vol)
-        else:
-            logits = self._whole(vol)
-        return np.asarray(jnp.argmax(logits, axis=-1), np.int8)
+            return self._sw(jnp.asarray(vol)), None
+        return self._whole(jnp.asarray(vol)), None
+
+    def segment_tumor(self, volume: np.ndarray,
+                      mode: str = "sliding_window") -> np.ndarray:
+        """Volume (D,H,W) or (D,H,W,C) -> int8 label map at input res.
+
+        Modes: ``sliding_window`` (full-res Gaussian blend),
+        ``cropped`` (nonzero-bbox crop, then sliding window — nnU-Net's
+        production pipeline; requires skull-stripped zero background),
+        ``whole_volume`` (reference semantics, ``main.py:382-398``).
+        """
+        vol = self._canon(volume)
+        logits, plan = self._segment_logits(vol, mode)
+        labels = np.asarray(jnp.argmax(logits, axis=-1), np.int8)
+        if plan is not None:
+            labels = cropping.paste_full(labels, plan[0], plan[1], fill=0)
+        return labels
 
     def segment_with_confidence(self, volume: np.ndarray,
                                 mode: str = "sliding_window"
                                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """(labels int8, per-voxel max-softmax confidence float32)."""
-        vol = jnp.asarray(volume, jnp.float32)
-        if vol.ndim == 3:
-            vol = vol[..., None]
-        want_c = self.config.model.in_channels
-        if vol.shape[-1] != want_c:
-            vol = jnp.repeat(vol[..., :1], want_c, axis=-1)
-        logits = self._sw(vol) if mode == "sliding_window" else (
-            self._whole(vol))
+        """(labels int8, per-voxel max-softmax confidence float32).
+
+        In ``cropped`` mode, voxels outside the foreground window are
+        background with confidence 1.0 (they are exactly-zero air by
+        construction)."""
+        vol = self._canon(volume)
+        logits, plan = self._segment_logits(vol, mode)
         probs = jax.nn.softmax(logits, axis=-1)
-        labels = jnp.argmax(probs, axis=-1)
-        conf = jnp.max(probs, axis=-1)
-        return (np.asarray(labels, np.int8),
-                np.asarray(conf, np.float32))
+        labels = np.asarray(jnp.argmax(probs, axis=-1), np.int8)
+        conf = np.asarray(jnp.max(probs, axis=-1), np.float32)
+        if plan is not None:
+            labels = cropping.paste_full(labels, plan[0], plan[1], fill=0)
+            conf = cropping.paste_full(conf, plan[0], plan[1], fill=1.0)
+        return labels, conf
 
     # -------------------- classification --------------------
 

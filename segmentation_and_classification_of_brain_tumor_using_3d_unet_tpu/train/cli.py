@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["standard", "fast", "high_quality",
                             "lightweight", "production"])
     p.add_argument("--image_size", type=int, nargs=3, default=None)
+    p.add_argument("--patch_size", type=int, nargs=3, default=None,
+                   help="train on native-resolution foreground-biased "
+                        "patches (nnU-Net practice) instead of "
+                        "whole-volume resize")
+    p.add_argument("--fg_patch_prob", type=float, default=0.5)
     p.add_argument("--features", type=int, nargs="+", default=None,
                    help="encoder channel progression, e.g. 32 64 128")
     p.add_argument("--synthetic_shape", type=int, nargs=3, default=None,
@@ -106,7 +111,9 @@ def train_main(argv: Optional[Sequence[str]] = None):
     train_loader, val_loader = create_brats_data_loaders(
         args.data_dir, batch_size=args.batch_size,
         num_workers=args.num_workers, image_size=cfg.data.image_size,
-        seed=cfg.seed, sharding=sharding, aug_cfg=cfg.augment)
+        seed=cfg.seed, sharding=sharding, aug_cfg=cfg.augment,
+        patch_size=tuple(args.patch_size) if args.patch_size else None,
+        fg_patch_prob=args.fg_patch_prob)
     if len(train_loader.dataset) == 0:
         logger.warning("no training data found in %s — generating "
                        "synthetic fallback (reference train_model.py:162)",
@@ -116,7 +123,9 @@ def train_main(argv: Optional[Sequence[str]] = None):
         train_loader, val_loader = create_brats_data_loaders(
             args.data_dir, batch_size=args.batch_size,
             num_workers=args.num_workers, image_size=cfg.data.image_size,
-            seed=cfg.seed, sharding=sharding, aug_cfg=cfg.augment)
+            seed=cfg.seed, sharding=sharding, aug_cfg=cfg.augment,
+            patch_size=tuple(args.patch_size) if args.patch_size else None,
+            fg_patch_prob=args.fg_patch_prob)
 
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else (
         jnp.float32)
