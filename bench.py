@@ -94,6 +94,9 @@ def main():
     # set exceeds memory.
     ap.add_argument("--roi", type=int, nargs=3, default=None)
     ap.add_argument("--sw_batch", type=int, default=1)
+    ap.add_argument("--vol_batch", type=int, default=1,
+                    help="volumes segmented together per scan step "
+                         "(vmap over the sliding-window engine)")
     ap.add_argument("--synthetic", choices=("realistic", "noise"),
                     default="realistic")
     ap.add_argument("--no_crop", action="store_true",
@@ -184,13 +187,18 @@ def main():
             times.append(time.time() - t0)
         per_vol = float(np.median(times))
     else:
-        vols = jnp.asarray(work)
-        offs_j = jnp.asarray(offs_np)
+        vb = args.vol_batch
+        if args.volumes % vb:
+            raise SystemExit("--volumes must be divisible by --vol_batch")
+        vols = jnp.asarray(work).reshape(
+            args.volumes // vb, vb, *work.shape[1:])
+        offs_j = jnp.asarray(offs_np).reshape(args.volumes // vb, vb, 3)
 
         def run_batch(v, vols, offs):
             def body(_, inp):
                 vol, off = inp
-                return None, segment_full(v, vol, off)
+                return None, jax.vmap(
+                    lambda x, o: segment_full(v, x, o))(vol, off)
             _, sums = jax.lax.scan(body, None, (vols, offs))
             return sums
 

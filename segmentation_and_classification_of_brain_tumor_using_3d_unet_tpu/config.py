@@ -129,10 +129,14 @@ class InferenceConfig:
     sw_batch_size: int = 4
     blend_mode: str = "gaussian"     # "gaussian" | "constant"
     gaussian_sigma_scale: float = 0.125
-    # segmentation path for /upload: "sliding_window" keeps native
-    # resolution (north star); "whole_volume" reproduces the
-    # reference's destructive zoom-to-model-size semantics
-    upload_mode: str = "sliding_window"
+    # segmentation path for /upload: "cropped" segments at native
+    # resolution inside the foreground bounding box (nnU-Net practice;
+    # ~2x faster on skull-stripped volumes, identical semantics —
+    # degrades to the full extent when there is no constant
+    # background); "sliding_window" keeps native resolution without
+    # cropping; "whole_volume" reproduces the reference's destructive
+    # zoom-to-model-size semantics (main.py:382-398)
+    upload_mode: str = "cropped"
 
 
 @dataclass(frozen=True)

@@ -30,12 +30,25 @@ import numpy as np
 Box = Tuple[Tuple[int, int, int], Tuple[int, int, int]]
 
 
-def nonzero_bbox(vol: np.ndarray, tol: float = 0.0) -> Box:
-    """Inclusive-exclusive (lo, hi) bounds of ``|vol| > tol`` over the
-    three spatial axes. ``vol`` is (D, H, W) or (D, H, W, C); a volume
-    with no foreground returns the full extent."""
-    a = np.abs(np.asarray(vol))
-    mask = a.max(axis=-1) if a.ndim == 4 else a
+def nonzero_bbox(vol: np.ndarray, tol: float = 0.0,
+                 background: str = "corner") -> Box:
+    """Inclusive-exclusive (lo, hi) foreground bounds over the three
+    spatial axes. ``vol`` is (D, H, W) or (D, H, W, C); a volume with no
+    foreground returns the full extent.
+
+    ``background="corner"`` treats the per-channel value at voxel
+    (0, 0, 0) as background — air in BraTS layouts. This matches
+    ``|vol| > 0`` on raw skull-stripped volumes (corner is 0) AND stays
+    correct after z-score normalization, which maps the zero background
+    to a nonzero constant. ``background="zero"`` is the strict raw-zeros
+    rule. Volumes without a constant background (e.g. noise everywhere)
+    degrade gracefully to the full extent."""
+    a = np.asarray(vol)
+    if background == "corner":
+        d = np.abs(a - a[0, 0, 0])
+    else:
+        d = np.abs(a)
+    mask = d.max(axis=-1) if d.ndim == 4 else d
     mask = mask > tol
     lo, hi = [], []
     for axis in range(3):
@@ -79,12 +92,12 @@ def crop_offsets(box: Box, bucket: Sequence[int], full: Sequence[int]
 
 
 def plan_crop(vol: np.ndarray, multiple: int = 16, min_size: int = 64,
-              tol: float = 0.0) -> Tuple[Tuple[int, int, int],
-                                         Tuple[int, int, int]]:
+              tol: float = 0.0, background: str = "corner"
+              ) -> Tuple[Tuple[int, int, int], Tuple[int, int, int]]:
     """(offsets, bucket shape) for one volume — the host-side plan that
     keeps device shapes static."""
     full = vol.shape[:3]
-    lo, hi = nonzero_bbox(vol, tol)
+    lo, hi = nonzero_bbox(vol, tol, background)
     bucket = bucket_shape([h - l for l, h in zip(lo, hi)], full,
                           multiple=multiple, min_size=min_size)
     return crop_offsets((lo, hi), bucket, full), bucket

@@ -229,11 +229,11 @@ class BrainTumorApp:
             try:
                 from ..inference.predictor import preprocess_image
                 mode = self.config.inference.upload_mode
-                # sliding_window segments at NATIVE resolution (the
-                # north-star capability); whole_volume reproduces the
-                # reference's destructive zoom (main.py:382-398)
+                # cropped/sliding_window segment at NATIVE resolution
+                # (the north-star capability); whole_volume reproduces
+                # the reference's destructive zoom (main.py:382-398)
                 vol = preprocess_image(
-                    filepath, None if mode == "sliding_window" else size)
+                    filepath, size if mode == "whole_volume" else None)
                 predictor = self._get_predictor()
                 seg, conf = predictor.segment_with_confidence(
                     vol, mode=mode)

@@ -101,3 +101,15 @@ def test_predictor_cropped_matches_sliding_window_in_foreground():
     labs, conf = pred.segment_with_confidence(vol, mode="cropped")
     np.testing.assert_array_equal(labs, lab_crop)
     assert np.all(conf[mask] == 1.0)
+
+
+def test_corner_background_bbox_after_zscore():
+    """z-score maps the zero background to a nonzero constant; the
+    corner-background rule must still find the same bbox."""
+    vol = _brain()
+    z = (vol - vol.mean()) / vol.std()
+    assert nonzero_bbox(z) == nonzero_bbox(vol)
+    # no constant background (noise everywhere): full extent, no crop
+    noisy = np.random.default_rng(1).normal(size=(8, 9, 10, 2))
+    lo, hi = nonzero_bbox(noisy)
+    assert lo == (0, 0, 0) and hi == (8, 9, 10)
