@@ -74,10 +74,13 @@ def main():
         return jnp.asarray(rng.normal(size=shape).astype(np.float32),
                            jnp.bfloat16)
 
-    D0, H0, W0 = 240, 240, 160
+    import sys as _sys
+    if len(_sys.argv) == 4:
+        D0, H0, W0 = (int(a) for a in _sys.argv[1:4])
+    else:
+        D0, H0, W0 = 240, 240, 160
     f = (32, 64, 128, 256, 512)
-    spatial = [(240, 240, 160), (120, 120, 80), (60, 60, 40),
-               (30, 30, 20), (15, 15, 10)]
+    spatial = [(D0 >> k, H0 >> k, W0 >> k) for k in range(5)]
 
     total = 0.0
     # whole model first
@@ -86,7 +89,7 @@ def main():
     vs = jax.jit(model.init, static_argnames=("train",))(
         key, jnp.zeros((1, 64, 64, 64, 4), jnp.float32), train=False)
     t_full = timed(lambda v, xx: model.apply(v, xx, train=False)["logits"],
-                   (vs, x), 3, "UNet3D full fwd @240x240x160")
+                   (vs, x), 3, f"UNet3D full fwd @{D0}x{H0}x{W0}")
 
     # encoder DoubleConvs
     chans = [(4, 32), (32, 64), (64, 128), (128, 256)]
