@@ -56,6 +56,71 @@ def conv3d_zcat(x: jax.Array, w: jax.Array,
     return y.astype(x.dtype)
 
 
+def conv3d_ksplit(x: jax.Array, w: jax.Array,
+                  bias: Optional[jax.Array] = None,
+                  acc_dtype=jnp.float32) -> jax.Array:
+    """3x3x3 SAME conv via kz-in-lanes: ONE conv2d with 3*Cout output
+    channels (one Cout-block per depth tap kz), reduced by a 3-slice
+    shifted add:
+
+        y[z', kz] = conv2d(x[z'], w[kz])      (channels = 3*Cout)
+        out[z]    = y[z-1, 0] + y[z, 1] + y[z+1, 2]
+
+    Rationale: zcat's conv2d emits only Cout lanes, so the N<=64 convs
+    that dominate the U-Net use a fraction of the MXU's 128 lanes;
+    ksplit triples the lane count at identical FLOPs, paying a 3x
+    intermediate write + fused add. Wins measured for Cout <= 64 at
+    the full-res shapes (benchmarks/probe_ksplit.py); zcat remains
+    better for wide Cout.
+
+    x: (B, D, H, W, Cin); w: (3, 3, 3, Cin, Cout) [DHWIO].
+    """
+    B, D, H, W, C = x.shape
+    kd, kh, kw, ci, co = w.shape
+    if (kd, kh, kw) != (3, 3, 3):
+        raise ValueError(f"conv3d_ksplit expects 3x3x3 kernels, got "
+                         f"{w.shape}")
+    # (kh, kw, ci, kz*co): channel block kz holds that tap's 2D kernel
+    w2 = w.transpose(1, 2, 3, 0, 4).reshape(3, 3, ci, 3 * co)
+    x2 = x.reshape(B * D, H, W, C)
+    dn = jax.lax.conv_dimension_numbers(
+        x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x2, w2.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn)
+    y = y.reshape(B, D, H, W, 3 * co)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = (yp[:, 0:D, ..., 0 * co:1 * co]
+           + yp[:, 1:1 + D, ..., 1 * co:2 * co]
+           + yp[:, 2:2 + D, ..., 2 * co:3 * co])
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+# Formulation switch point. Standalone, ksplit wins for every Cout <=
+# 128 (benchmarks/probe_ksplit.py: 2.6x at 32->32 and 6.5x at the
+# 32->16 head conv on the 160x192x144 crop bucket, where zcat's conv2d
+# drops to 6-25 TF/s). IN-MODEL the picture flips for the DoubleConv
+# chain: zcat's input concat fuses into the preceding GN/ReLU epilogue
+# while ksplit's 3*Cout intermediate cannot be absorbed, so whole-model
+# bench (bench.py, crop bucket 160x192x144) measured vol/s:
+#   zcat-only 10.10 | co<=16 10.70 | co<=32 8.92 | co<=64 9.26 |
+#   co<=128 9.25
+# => ksplit only for the lane-starved head conv (Cout <= 16), where it
+# is a pure win. Override with SEG3D_KSPLIT_MAX_CO for experiments.
+import os as _os
+
+KSPLIT_MAX_CO = int(_os.environ.get("SEG3D_KSPLIT_MAX_CO", "16"))
+
+
+def conv3d_3x3x3(x: jax.Array, w: jax.Array,
+                 bias: Optional[jax.Array] = None) -> jax.Array:
+    """Fastest measured 3x3x3 SAME conv formulation for the shape."""
+    if w.shape[-1] <= KSPLIT_MAX_CO:
+        return conv3d_ksplit(x, w, bias)
+    return conv3d_zcat(x, w, bias)
+
+
 def conv_transpose3d_k2s2(x: jax.Array, w: jax.Array,
                           bias: Optional[jax.Array] = None,
                           acc_dtype=jnp.float32) -> jax.Array:
@@ -146,7 +211,7 @@ class FastConv3D(nn.Module):
                 if self.use_bias else None)
         x = x.astype(self.dtype)
         if k == (3, 3, 3):
-            return conv3d_zcat(x, kernel.astype(self.dtype), bias)
+            return conv3d_3x3x3(x, kernel.astype(self.dtype), bias)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
         y = jax.lax.conv_general_dilated(

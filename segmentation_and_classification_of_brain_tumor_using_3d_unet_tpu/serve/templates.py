@@ -35,15 +35,28 @@ _HEADER = """
 
 def index_page() -> str:
     return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
-<title>Brain Tumor Analysis (TPU)</title><style>{_BASE_CSS}</style></head>
+<title>Brain Tumor Analysis (TPU)</title><style>{_BASE_CSS}
+#drop{{border:2px dashed #9bb3cc;border-radius:10px;padding:26px;
+text-align:center;color:#567;transition:background .15s}}
+#drop.hover{{background:#e8f1fd;border-color:#2d7ff9}}
+.bar{{height:8px;background:#e3e9f0;border-radius:4px;overflow:hidden;
+margin:8px 0}}.bar>div{{height:100%;width:0;background:#2d7ff9;
+transition:width .4s}}
+.badge{{display:inline-block;background:#f0ad4e;color:#fff;
+border-radius:4px;padding:2px 8px;font-size:12px;margin-left:8px}}
+</style></head>
 <body>{_HEADER}<main>
 
 <div class="card"><h2>Upload MRI scan</h2>
 <p>NIfTI (.nii/.nii.gz), NumPy (.npy) or 2D image. Runs real TPU
 inference: 3D U-Net segmentation + tumor-grade classification.</p>
-<input type="file" id="file">
+<div id="drop">Drag &amp; drop a scan here, or
+  <label style="color:#2d7ff9;cursor:pointer"><u>browse</u>
+  <input type="file" id="file" style="display:none"></label>
+  <div id="fname" style="margin-top:6px;font-weight:600"></div></div>
 <label><input type="checkbox" id="demo"> demo mode (synthetic)</label>
 <button onclick="upload()">Analyze</button>
+<div class="bar"><div id="pbar"></div></div>
 <div id="status"></div><div id="results"></div></div>
 
 <div class="card"><h2>Training manager</h2>
@@ -62,18 +75,89 @@ Mode <select id="mode"><option value="real">real</option>
 <div id="tstatus"></div><pre id="tlogs"></pre></div>
 
 <script>
-let sessionId = null, poller = null;
+let sessionId = null, poller = null, dropFile = null;
+const diceHist = [];
+
+// drag & drop upload zone
+const drop = document.getElementById('drop');
+drop.addEventListener('dragover', e => {{
+  e.preventDefault(); drop.classList.add('hover'); }});
+drop.addEventListener('dragleave', () => drop.classList.remove('hover'));
+drop.addEventListener('drop', e => {{
+  e.preventDefault(); drop.classList.remove('hover');
+  if (e.dataTransfer.files.length) setFile(e.dataTransfer.files[0]);
+}});
+document.getElementById('file').addEventListener('change', e => {{
+  if (e.target.files.length) setFile(e.target.files[0]); }});
+function setFile(f) {{
+  dropFile = f;
+  document.getElementById('fname').textContent =
+      f.name + ' (' + (f.size / 1048576).toFixed(1) + ' MB)';
+}}
+
+// staged narration while the request is in flight
+const STAGES = [
+  [8,  'Uploading scan...'],
+  [25, 'Decoding volume and normalizing intensities...'],
+  [45, 'Cropping to brain extent...'],
+  [70, 'Running 3D U-Net sliding-window segmentation on TPU...'],
+  [88, 'Classifying tumor grade and compiling clinical report...']];
+let stageTimer = null;
+function narrate(on) {{
+  const bar = document.getElementById('pbar'),
+        st = document.getElementById('status');
+  if (!on) {{ clearInterval(stageTimer); bar.style.width = '100%';
+              return; }}
+  let i = 0; bar.style.width = '4%';
+  st.textContent = STAGES[0][1];
+  stageTimer = setInterval(() => {{
+    if (i < STAGES.length) {{
+      bar.style.width = STAGES[i][0] + '%';
+      st.textContent = STAGES[i][1]; i++;
+    }}
+  }}, 900);
+}}
+
+// client-side demo fallback when the server is unreachable/degraded —
+// clearly labeled, mirrors the reference UI's offline demo behavior
+function demoAnalysis() {{
+  return {{success: true, demo_fallback: true,
+    classification: {{primary_diagnosis: 'Glioma (demo)',
+      confidence: 0.87, risk_level: 'moderate'}},
+    measurements: {{tumor_volume: '12.4 cm³ (demo)',
+      tumor_percentage: '0.9% (demo)',
+      equivalent_diameter: '28.7 mm (demo)',
+      surface_area: '2340 mm² (demo)'}},
+    quality_metrics: {{dice_coefficient: '— (demo)',
+      hausdorff_distance: '— (demo)'}},
+    clinical_notes: {{
+      findings: ['Demo analysis generated in the browser: the server ' +
+                 'was unreachable, no inference was run.'],
+      recommendations: ['Start the TPU service and re-upload the scan ' +
+                        'for a real analysis.']}},
+    visualizations: {{multiplanar: '', analysis: ''}}}};
+}}
+
 async function upload() {{
-  const f = document.getElementById('file').files[0];
+  const f = dropFile || document.getElementById('file').files[0];
   const demo = document.getElementById('demo').checked;
   const fd = new FormData();
   if (f) fd.append('file', f);
   fd.append('demo', demo ? '1' : '0');
-  document.getElementById('status').textContent = 'Analyzing...';
-  const r = await fetch('/upload', {{method: 'POST', body: fd}});
-  const j = await r.json();
-  document.getElementById('status').textContent =
-      j.success ? 'Done' : ('Error: ' + j.error);
+  narrate(true);
+  let j;
+  try {{
+    const r = await fetch('/upload', {{method: 'POST', body: fd}});
+    j = await r.json();
+  }} catch (e) {{
+    j = demoAnalysis();
+  }}
+  narrate(false);
+  document.getElementById('status').innerHTML =
+      (j.success ? 'Done' : ('Error: ' + j.error)) +
+      (j.demo_fallback ?
+       ' <span class="badge">offline demo — not real inference</span>'
+       : '');
   if (!j.success) return;
   const el = document.getElementById('results');
   el.innerHTML = `
@@ -94,8 +178,10 @@ async function upload() {{
     <h4>Recommendations</h4><ul>${{
       j.clinical_notes.recommendations.map(x=>'<li>'+x+'</li>').join('')
     }}</ul>
-    <img class="viz" src="${{j.visualizations.multiplanar}}">
-    <img class="viz" src="${{j.visualizations.analysis}}">`;
+    ${{j.visualizations.multiplanar ?
+      `<img class="viz" src="${{j.visualizations.multiplanar}}">` : ''}}
+    ${{j.visualizations.analysis ?
+      `<img class="viz" src="${{j.visualizations.analysis}}">` : ''}}`;
 }}
 async function startTraining() {{
   const cfg = {{
@@ -121,14 +207,24 @@ async function startTraining() {{
   if (poller) clearInterval(poller);
   poller = setInterval(pollProgress, 2000);
 }}
+function sparkline(vals) {{
+  if (vals.length < 2) return '';
+  const w = 220, h = 36, mx = Math.max(...vals, 1e-9);
+  const pts = vals.map((v, i) =>
+      `${{(i / (vals.length - 1) * w).toFixed(1)}},` +
+      `${{(h - v / mx * (h - 4) - 2).toFixed(1)}}`).join(' ');
+  return `<svg width="${{w}}" height="${{h}}"><polyline points="${{pts}}"
+      fill="none" stroke="#2d7ff9" stroke-width="2"/></svg>`;
+}}
 async function pollProgress() {{
   if (!sessionId) return;
   const r = await fetch('/training_progress?session_id=' + sessionId);
   const p = await r.json();
+  if (typeof p.dice_score === 'number') diceHist.push(p.dice_score);
   document.getElementById('tstatus').innerHTML =
     `status <b>${{p.status}}</b> — epoch ${{p.current_epoch}}/` +
     `${{p.total_epochs}} — loss ${{p.train_loss}} — dice ` +
-    `${{p.dice_score}} (best ${{p.best_dice}})`;
+    `${{p.dice_score}} (best ${{p.best_dice}})<br>` + sparkline(diceHist);
   document.getElementById('tlogs').textContent =
       (p.logs || []).join('\\n');
   if (['completed','error','stopped'].includes(p.status))

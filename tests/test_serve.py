@@ -331,3 +331,17 @@ def test_http_server_over_socket(app):
             assert j["success"]
     finally:
         server.shutdown()
+
+
+def test_index_page_ui_protocol():
+    """The UI page carries the full endpoint protocol plus the
+    experience-parity features (drag-drop, staged narration, offline
+    demo fallback — reference templates/index.html:967-1035,1447-1492)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve import (
+        templates)
+    page = templates.index_page()
+    for needle in ("/upload", "/start_training", "/training_progress",
+                   "/stop_training", "/generate_synthetic_data",
+                   'id="drop"', "dragover", "demoAnalysis", "STAGES",
+                   "sparkline", "offline demo"):
+        assert needle in page, needle
