@@ -33,23 +33,29 @@ def measure_rtt():
 
 
 def timed(fn, args, iters, label, flops):
-    def chained(a):
-        def body(c, _):
-            bump = jax.tree_util.tree_map(
-                lambda v: (v + (c * 1e-30).astype(v.dtype)
-                           if v.dtype in (jnp.bfloat16, jnp.float32)
-                           else v),
-                a)
-            out = fn(*bump)
+    """Integer inputs can't take the +c*1e-30 carry bump (XLA would
+    hoist the whole op out of the scan as loop-invariant — observed as
+    negative/absurd TF/s). Instead the first arg is extended by one
+    leading row and the slice origin alternates with the iteration
+    parity, which defeats hoisting for any dtype."""
+    first, rest = args[0], args[1:]
+    pad = jnp.concatenate([first, first[:1]], axis=0)
+
+    def chained(pad, rest):
+        def body(c, i):
+            a0 = jax.lax.dynamic_slice_in_dim(
+                pad, i % 2, first.shape[0], axis=0)
+            out = fn(a0, *rest)
             return c + jnp.sum(out.astype(jnp.float32)), None
-        tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        tot, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(iters, dtype=jnp.int32))
         return tot
 
     f = jax.jit(chained)
-    t0 = time.time(); float(f(args)); comp = time.time() - t0
+    t0 = time.time(); float(f(pad, rest)); comp = time.time() - t0
     reps = []
     for _ in range(3):
-        t0 = time.time(); float(f(args)); reps.append(time.time() - t0)
+        t0 = time.time(); float(f(pad, rest)); reps.append(time.time() - t0)
     dt = (min(reps) - RTT[0]) / iters
     print(f"{label:46s} {dt*1e3:8.2f} ms  {flops/dt/1e12:6.1f} TF/s "
           f"(compile {comp:.0f}s)", flush=True)
@@ -85,7 +91,7 @@ def main():
         ab = a8.astype(jnp.bfloat16)
         bb = b8.astype(jnp.bfloat16)
         fl = 2 * M * K * N
-        it = max(10, int(2e11 / fl))
+        it = min(200, max(10, int(2e10 / fl)))
         timed(mm_bf16, (ab, bb), it, f"matmul bf16 ({M},{K},{N})", fl)
         timed(mm_int8, (a8, b8), it, f"matmul int8 ({M},{K},{N})", fl)
 

@@ -4,7 +4,7 @@ GroupNorm, trilinear interp, AMP)."""
 
 from .edt import edt_squared, hausdorff_distance_device
 from .conv import (Conv1x1, FastConv3D, FastConvTranspose3D, conv1x1,
-                   conv3d_3x3x3, conv3d_ksplit, conv3d_zcat,
+                   conv3d_3x3x3, conv3d_ksplit, conv3d_zsum, conv3d_zcat,
                    conv_transpose3d_k2s2)
 from .norm import group_norm, batch_norm_infer
 from .resize import resize_trilinear, resize_nearest, adaptive_avg_pool
@@ -14,7 +14,7 @@ from .stats import (percentile, percentile_bisect, percentile_clip,
 
 __all__ = [
     "Conv1x1", "FastConv3D", "FastConvTranspose3D", "conv1x1",
-    "conv3d_3x3x3", "conv3d_ksplit", "conv3d_zcat",
+    "conv3d_3x3x3", "conv3d_ksplit", "conv3d_zsum", "conv3d_zcat",
     "conv_transpose3d_k2s2",
     "group_norm", "batch_norm_infer",
     "resize_trilinear", "resize_nearest", "adaptive_avg_pool",

@@ -111,6 +111,14 @@ def conv3d_ksplit(x: jax.Array, w: jax.Array,
 import os as _os
 
 KSPLIT_MAX_CO = int(_os.environ.get("SEG3D_KSPLIT_MAX_CO", "16"))
+# zsum loses in-model at every threshold (bench.py crop bucket:
+# zsum everywhere 6.86 vol/s, Cout<=32 7.16, disabled 10.70) despite
+# winning standalone DoubleConv-chain probes — same fusion story as
+# ksplit: XLA absorbs zcat's 3-shift concat into the preceding
+# GN/ReLU epilogue, while zsum's three separate conv2d calls forfeit
+# that fusion AND triple the conv-engine fixed costs. Disabled by
+# default; kept (tested, exact) for experiments via SEG3D_ZSUM_MAX_CO.
+ZSUM_MAX_CO = int(_os.environ.get("SEG3D_ZSUM_MAX_CO", "0"))
 
 
 def conv3d_3x3x3(x: jax.Array, w: jax.Array,
@@ -118,7 +126,50 @@ def conv3d_3x3x3(x: jax.Array, w: jax.Array,
     """Fastest measured 3x3x3 SAME conv formulation for the shape."""
     if w.shape[-1] <= KSPLIT_MAX_CO:
         return conv3d_ksplit(x, w, bias)
+    if w.shape[-1] <= ZSUM_MAX_CO:
+        return conv3d_zsum(x, w, bias)
     return conv3d_zcat(x, w, bias)
+
+
+def conv3d_zsum(x: jax.Array, w: jax.Array,
+                bias: Optional[jax.Array] = None,
+                acc_dtype=jnp.float32) -> jax.Array:
+    """3x3x3 SAME conv as three conv2d calls on ZERO-COPY z-windows of
+    the (padded) input, summed:
+
+        out[z] = sum_dz conv2d(x[z-1+dz], w[dz])
+
+    Unlike zcat this materializes NO 3*Cin concat, and unlike ksplit
+    NO 3*Cout intermediate — the z-windows are overlapping slices of
+    one padded buffer, so the only extra traffic is re-reading x three
+    times (which the conv2d engine must do anyway for kh taps) plus
+    two partial-sum adds that XLA fuses. Wins on real DoubleConv
+    chains: 2.1x vs zcat at 32->32 and 1.4x at 64->32 on the
+    160x192x144 crop bucket (benchmarks/probe_dc.py).
+
+    x: (B, D, H, W, Cin); w: (3, 3, 3, Cin, Cout) [DHWIO].
+    """
+    B, D, H, W, C = x.shape
+    kd, kh, kw, ci, co = w.shape
+    if (kd, kh, kw) != (3, 3, 3):
+        raise ValueError(f"conv3d_zsum expects 3x3x3 kernels, got "
+                         f"{w.shape}")
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(3):
+        xi = jax.lax.slice_in_dim(xp, dz, dz + D, axis=1)
+        x2 = xi.reshape(B * D, H, W, C)
+        w2 = w[dz]                                  # (3, 3, ci, co)
+        dn = jax.lax.conv_dimension_numbers(
+            x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x2, w2.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=dn)
+        out = y if out is None else out + y
+    out = out.reshape(B, D, H, W, co)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
 
 
 def conv_transpose3d_k2s2(x: jax.Array, w: jax.Array,

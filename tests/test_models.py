@@ -251,3 +251,31 @@ def test_conv3d_ksplit_grad_matches_zcat(rng):
     gz = jax.grad(lambda w: jnp.sum(conv3d_zcat(x, w) ** 2))(w)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gz),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_conv3d_zsum_matches_lax(rng):
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.conv import (
+        conv3d_zsum)
+    x = jnp.asarray(rng.normal(size=(2, 6, 7, 5, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    got = conv3d_zsum(x, w, b)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (1, 1, 1), "SAME",
+                                        dimension_numbers=dn) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3d_zsum_grad_matches_zcat(rng):
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.conv import (
+        conv3d_zsum, conv3d_zcat)
+    x = jnp.asarray(rng.normal(size=(1, 5, 6, 4, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 8)).astype(np.float32))
+    gzs = jax.grad(lambda w: jnp.sum(conv3d_zsum(x, w) ** 2))(w)
+    gz = jax.grad(lambda w: jnp.sum(conv3d_zcat(x, w) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gzs), np.asarray(gz),
+                               atol=1e-3, rtol=1e-3)
