@@ -105,6 +105,11 @@ def main():
                     help="crop bucket size rounding (conv efficiency "
                          "is shape-sensitive; 32 trades ~10%% more "
                          "voxels for better-tiled shapes)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantized serving path (post-training "
+                         "per-channel weight / static activation "
+                         "quant, inference/quantize.py); calibrates "
+                         "on the first fixture volume")
     ap.add_argument("--per_call", action="store_true",
                     help="old per-volume host-sync timing (pays ~26 ms "
                          "tunnel RTT per volume)")
@@ -123,8 +128,10 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x_init, train=False)
 
+    run_model = [model]      # replaced by the int8 clone under --int8
+
     def apply_fn(v, patches):
-        return model.apply(v, patches, train=False)["logits"]
+        return run_model[0].apply(v, patches, train=False)["logits"]
 
     rng = np.random.default_rng(0)
     realistic = args.synthetic == "realistic"
@@ -154,6 +161,16 @@ def main():
 
     roi = tuple(args.roi) if args.roi else tuple(
         -(-s // 16) * 16 for s in work_shape)
+
+    if args.int8:
+        calibrate_int8 = import_module(
+            pkg + ".inference.quantize").calibrate_int8
+        t0 = time.time()
+        variables = calibrate_int8(model, variables, [work[0]])
+        run_model[0] = model.clone(quant_mode="int8")
+        if args.verbose:
+            print(f"# int8 calibration: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
 
     if args.verbose:
         print(f"# fixture={args.synthetic} crop={crop} "

@@ -64,6 +64,7 @@ class DoubleConv3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     fast: bool = True
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x):
@@ -74,7 +75,8 @@ class DoubleConv3D(nn.Module):
             if self.fast and k == 3:
                 return FastConv3D(f, (3, 3, 3), use_bias=False,
                                   kernel_init=KAIMING, dtype=self.dtype,
-                                  param_dtype=self.param_dtype, name=name)
+                                  param_dtype=self.param_dtype,
+                                  quant_mode=self.quant_mode, name=name)
             if self.fast and k == 1:
                 return Conv1x1(f, use_bias=False, kernel_init=KAIMING,
                                dtype=self.dtype,
@@ -158,6 +160,15 @@ class UNet3D(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     fast: bool = True
+    # int8 quantized serving (inference/quantize.py): "off" | "calib"
+    # | "int8". Applies to the DoubleConv 3x3x3 convs; the head, gates
+    # and upsamplers stay bf16. ``quant_blocks`` optionally restricts
+    # quantization to blocks whose name starts with one of the given
+    # prefixes (e.g. ("dec",) for decoder-only) — encoder DC outputs
+    # feed skip + pool + deep-sup consumers, where quantization forces
+    # an extra full-size materialization (benchmarks/profile_int8.py).
+    quant_mode: str = "off"
+    quant_blocks: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -165,9 +176,13 @@ class UNet3D(nn.Module):
         dc = DoubleConv3D
         if self.remat:
             dc = nn.remat(DoubleConv3D)
-        block = lambda f, name: dc(
-            f, dtype=self.dtype, param_dtype=self.param_dtype,
-            fast=self.fast, name=name)
+        def block(f, name):
+            qm = self.quant_mode
+            if self.quant_blocks is not None and not any(
+                    name.startswith(p) for p in self.quant_blocks):
+                qm = "off"
+            return dc(f, dtype=self.dtype, param_dtype=self.param_dtype,
+                      fast=self.fast, quant_mode=qm, name=name)
         if self.fast:
             conv_out = lambda name: Conv1x1(
                 self.out_channels, kernel_init=KAIMING, dtype=self.dtype,

@@ -172,6 +172,97 @@ def conv3d_zsum(x: jax.Array, w: jax.Array,
     return out.astype(x.dtype)
 
 
+def conv3d_zcat_int8(x: jax.Array, w: jax.Array, act_scale: jax.Array,
+                     bias: Optional[jax.Array] = None) -> jax.Array:
+    """Quantized 3x3x3 SAME conv (inference only): int8 x int8 -> int32
+    accumulation on the MXU, dequantized to bf16.
+
+    Same zcat formulation as ``conv3d_zcat`` (z-shift concat + ONE
+    conv2d) so the concat keeps fusing into the producer epilogue; the
+    int8 operands additionally halve the concat/conv HBM traffic and
+    double the MXU rate (measured 60.8 vs 31.8 TF/s at 32->32 on the
+    160x192x144 crop bucket, benchmarks/probe_int8.py; 1.3-1.7x on full
+    DoubleConv chains incl. all quant glue, probe_int8_dc.py).
+
+    Quantization scheme:
+      * activations: symmetric per-tensor int8 with a STATIC calibrated
+        ``act_scale`` (see inference/quantize.py) so the quantize pass
+        is purely elementwise and fusable;
+      * weights: symmetric per-output-channel int8, quantized on the
+        fly from the f32 params (27*ci*co elements — negligible), so
+        checkpoints/param layout are unchanged.
+
+    x: (B, D, H, W, Cin) any float; w: (3, 3, 3, Cin, Cout) f32;
+    act_scale: scalar f32. Returns bf16.
+    """
+    B, D, H, W, C = x.shape
+    kd, kh, kw, ci, co = w.shape
+    if (kd, kh, kw) != (3, 3, 3):
+        raise ValueError(f"conv3d_zcat_int8 expects 3x3x3 kernels, got "
+                         f"{w.shape}")
+    w = w.astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2, 3)),
+                          1e-12) / 127.0                       # (co,)
+    wq = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+
+    def quant(v):
+        return jnp.clip(jnp.round(v.astype(jnp.float32) / act_scale),
+                        -127, 127).astype(jnp.int8)
+
+    # Formulation (benchmarks/probe_int8_form.py, dec4-only in-model):
+    #   qfirst 108.3 ms (XLA inserts ~4 GB of s8/s32 relayout copies
+    #   around the int8 conv), qlast 90.8 (copy-free; quantize reads
+    #   the same bf16 concat the bf16 path materializes), ksplit-int8
+    #   117.2, bf16-accum variants within noise. bf16 baseline: 89.5.
+    #   => int8 is perf-NEUTRAL in-model on this libtpu (the 1.9x MXU
+    #   win is consumed by operand staging); default qlast.
+    form = _os.environ.get("SEG3D_INT8_FORM", "qlast")
+    acc_t = (jnp.bfloat16 if _os.environ.get("SEG3D_INT8_ACC") == "bf16"
+             else jnp.int32)
+    if form == "ksplit":
+        # kz-in-lanes: no input concat at all — one conv2d on the raw
+        # quantized tensor emitting 3*Cout channels, shifted 3-slice add
+        xq = quant(x)
+        w2 = wq.transpose(1, 2, 3, 0, 4).reshape(3, 3, ci, 3 * co)
+        x2 = xq.reshape(B * D, H, W, C)
+        dn = jax.lax.conv_dimension_numbers(
+            x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x2, w2, (1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=acc_t)
+        y = y.reshape(B, D, H, W, 3 * co)
+        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = (yp[:, 0:D, ..., 0 * co:1 * co]
+               + yp[:, 1:1 + D, ..., 1 * co:2 * co]
+               + yp[:, 2:2 + D, ..., 2 * co:3 * co])
+        out = out.astype(jnp.float32) * (act_scale * w_scale)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out.astype(jnp.bfloat16)
+    if form == "qlast":
+        # concat in the producer dtype (same fusion/layout as the bf16
+        # path), quantize the concatenated tensor just before the conv
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        xz = jnp.concatenate([xp[:, k:k + D] for k in range(3)], axis=-1)
+        x2 = quant(xz.reshape(B * D, H, W, 3 * C))
+    else:
+        xq = quant(x)
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        xz = jnp.concatenate([xp[:, k:k + D] for k in range(3)], axis=-1)
+        x2 = xz.reshape(B * D, H, W, 3 * C)
+    w2 = wq.transpose(1, 2, 0, 3, 4).reshape(kh, kw, 3 * ci, co)
+    dn = jax.lax.conv_dimension_numbers(
+        x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x2, w2, (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=acc_t)
+    y = y.reshape(B, D, H, W, co)
+    out = y.astype(jnp.float32) * (act_scale * w_scale)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(jnp.bfloat16)
+
+
 def conv_transpose3d_k2s2(x: jax.Array, w: jax.Array,
                           bias: Optional[jax.Array] = None,
                           acc_dtype=jnp.float32) -> jax.Array:
@@ -242,7 +333,15 @@ class Conv1x1(nn.Module):
 class FastConv3D(nn.Module):
     """flax module wrapping ``conv3d_zcat`` for 3^3 kernels (falls back to
     ``nn.Conv``-equivalent lax conv for other kernel sizes). Parameter
-    names/shapes identical to ``nn.Conv``."""
+    names/shapes identical to ``nn.Conv``.
+
+    ``quant_mode`` (inference-only int8 serving, inference/quantize.py):
+      * "off"   — bf16 compute (default; the only mode used in training)
+      * "calib" — bf16 compute, additionally sows the running
+        max|activation| into the "quant_stats" collection
+      * "int8"  — int8 MXU conv via ``conv3d_zcat_int8`` with the
+        static activation scale read from the "quant" collection
+    """
 
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
@@ -250,6 +349,7 @@ class FastConv3D(nn.Module):
     kernel_init: Any = KAIMING
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quant_mode: str = "off"
 
     @nn.compact
     def __call__(self, x):
@@ -260,6 +360,16 @@ class FastConv3D(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), self.param_dtype)
                 if self.use_bias else None)
+        if k == (3, 3, 3) and self.quant_mode == "calib":
+            self.sow("quant_stats", "absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0.0),
+                     reduce_fn=jnp.maximum)
+        elif k == (3, 3, 3) and self.quant_mode == "int8":
+            scale = self.variable(
+                "quant", "act_scale",
+                lambda: jnp.float32(1.0)).value
+            return conv3d_zcat_int8(x, kernel, scale, bias)
         x = x.astype(self.dtype)
         if k == (3, 3, 3):
             return conv3d_3x3x3(x, kernel.astype(self.dtype), bias)
