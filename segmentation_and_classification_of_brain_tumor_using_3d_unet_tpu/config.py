@@ -62,6 +62,12 @@ class LossConfig:
     # deep supervision weights, main output first (reference losses.py:102)
     deep_supervision_weights: Tuple[float, ...] = (1.0, 0.8, 0.6, 0.4)
     use_deep_supervision: bool = True
+    # False (default): deep losses at each head's native scale with
+    # nearest-downsampled targets (nnU-Net practice; ~300 ms/step
+    # cheaper at 128^3 b2). True: upsample heads to full res in the
+    # model (the reference model's written-but-dead behavior,
+    # main.py:163-171).
+    deep_supervision_full_res: bool = False
 
 
 @dataclass(frozen=True)

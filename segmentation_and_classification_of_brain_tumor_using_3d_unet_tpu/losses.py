@@ -50,9 +50,13 @@ def softmax_dice_loss(logits: Array, targets: Array,
 
 
 def cross_entropy_loss(logits: Array, targets: Array) -> Array:
-    """Mean softmax cross-entropy (``nn.CrossEntropyLoss`` default)."""
+    """Mean softmax cross-entropy (``nn.CrossEntropyLoss`` default).
+
+    The target pick runs as a dense one-hot contraction, not
+    ``take_along_axis`` — TPU lowers full-resolution gathers (and their
+    scatter transpose in the backward) pathologically slowly."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    nll = -jnp.sum(logp * _one_hot(targets, logits.shape[-1]), axis=-1)
     return jnp.mean(nll)
 
 
@@ -60,7 +64,7 @@ def focal_loss(logits: Array, targets: Array, alpha: float = 1.0,
                gamma: float = 2.0) -> Array:
     """``alpha * (1 - pt)^gamma * CE`` (reference ``training.py:554-566``)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    ce = -jnp.sum(logp * _one_hot(targets, logits.shape[-1]), axis=-1)
     pt = jnp.exp(-ce)
     return jnp.mean(alpha * (1.0 - pt) ** gamma * ce)
 
@@ -70,11 +74,28 @@ def combined_loss(logits: Array, targets: Array,
                   focal_alpha: float = 1.0, focal_gamma: float = 2.0
                   ) -> Array:
     """Trainer criterion: w0*dice + w1*CE + w2*focal
-    (reference ``training.py:517-534``)."""
-    return (weights[0] * softmax_dice_loss(logits, targets)
-            + weights[1] * cross_entropy_loss(logits, targets)
-            + weights[2] * focal_loss(logits, targets,
-                                      focal_alpha, focal_gamma))
+    (reference ``training.py:517-534``).
+
+    Single-pass formulation: one log_softmax feeds all three terms
+    (dice probs = exp(logp), CE = -logp[target], focal reuses CE), so
+    the full-resolution tensor is normalized once instead of three
+    times — the deep-supervision stack pays this loss 5x per step.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jnp.exp(logp)
+    onehot = _one_hot(targets, logits.shape[-1])
+
+    inter = jnp.sum(probs * onehot, axis=SPATIAL)
+    union = jnp.sum(probs, axis=SPATIAL) + jnp.sum(onehot, axis=SPATIAL)
+    dice = 1.0 - jnp.mean((2.0 * inter + 1e-6) / (union + 1e-6))
+
+    # dense pick via the one-hot already needed for dice (gather-free)
+    ce_map = -jnp.sum(logp * onehot, axis=-1)
+    ce = jnp.mean(ce_map)
+    pt = jnp.exp(-ce_map)
+    focal = jnp.mean(focal_alpha * (1.0 - pt) ** focal_gamma * ce_map)
+
+    return weights[0] * dice + weights[1] * ce + weights[2] * focal
 
 
 def boundary_loss(logits: Array, targets: Array) -> Array:

@@ -160,6 +160,16 @@ class UNet3D(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     fast: bool = True
+    # Reference main.py:163-171 trilinearly upsamples every deep head to
+    # full resolution inside the forward. That costs ~300 ms/step at
+    # 128^3 b2 (benchmarks/profile_train.py: 4 extra full-res combined
+    # losses). Since the reference's deep supervision is DEAD code (its
+    # trainer cannot consume the tuple — SURVEY.md section 2.2), the
+    # trainer defaults to the nnU-Net semantics instead: deep heads stay
+    # at their native scale and the LOSS nearest-resizes the target
+    # (losses.deep_supervision_loss handles both). Set True to emulate
+    # the reference model's written behavior exactly.
+    deep_sup_full_res: bool = False
     # int8 quantized serving (inference/quantize.py): "off" | "calib"
     # | "int8". Applies to the DoubleConv 3x3x3 convs; the head, gates
     # and upsamplers stay bf16. ``quant_blocks`` optionally restricts
@@ -209,8 +219,10 @@ class UNet3D(nn.Module):
             skips.append(x)
             if i < len(feats) - 1:
                 d = conv_out(f"deep{i}")(x)
-                deep.append(
-                    resize_trilinear(d, full_res).astype(jnp.float32))
+                if self.deep_sup_full_res:
+                    d = resize_trilinear(d, full_res)
+                # kept in compute dtype; losses cast to f32 internally
+                deep.append(d)
             x = max_pool3d(x, 2)
             x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2, 3),
                            deterministic=not train)(x)

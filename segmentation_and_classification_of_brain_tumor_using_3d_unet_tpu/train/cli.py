@@ -132,7 +132,8 @@ def train_main(argv: Optional[Sequence[str]] = None):
     model = UNet3D(out_channels=cfg.model.out_channels,
                    features=cfg.model.features,
                    dropout_rate=cfg.model.dropout_rate,
-                   dtype=dtype, remat=cfg.model.remat)
+                   dtype=dtype, remat=cfg.model.remat,
+                   deep_sup_full_res=cfg.loss.deep_supervision_full_res)
 
     trainer = ModernBrainTumorTrainer(
         model, learning_rate=args.lr,
