@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--size", type=int, nargs=3, default=(64, 64, 64))
     ap.add_argument("--features", type=int, nargs="+",
                     default=(16, 32, 64, 128))
+    ap.add_argument("--no_deep_sup", action="store_true")
+    ap.add_argument("--deep_full_res", action="store_true")
     args = ap.parse_args()
 
     import dataclasses
@@ -45,6 +47,9 @@ def main():
         # a tiny-cohort learning check needs its full step budget
         early_stopping_patience=10_000,
         use_tensorboard=False, batch_size=2)
+    if args.no_deep_sup:
+        cfg = cfg.replace(loss=dataclasses.replace(
+            cfg.loss, use_deep_supervision=False))
 
     data_dir = tempfile.mkdtemp(prefix="convergence_")
     create_enhanced_synthetic_data(args.samples, data_dir,
@@ -53,7 +58,8 @@ def main():
         data_dir, batch_size=2, num_workers=2, image_size=size,
         aug_cfg=cfg.augment)
     model = UNet3D(out_channels=4, features=tuple(args.features),
-                   dtype=jnp.bfloat16)
+                   dtype=jnp.bfloat16,
+                   deep_sup_full_res=args.deep_full_res)
     trainer = ModernBrainTumorTrainer(
         model, learning_rate=1e-3, config=cfg,
         experiment_name="convergence_check", hausdorff_every=5)
