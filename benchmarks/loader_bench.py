@@ -65,7 +65,10 @@ def main():
         n_train = len(train.dataset)
         cold = consume(train, "epoch 1 (cold: gz decode + normalize)",
                        n_train)
-        warm = consume(train, "epoch 2 (host cache: H2D + augment)",
+        # epoch 2 still pays one-time augment compiles for any batch
+        # shape not seen in epoch 1 (ragged last batch); exclude them
+        consume(train, "epoch 2 (compile warm-up)", n_train)
+        warm = consume(train, "epoch 3 (host cache: H2D + augment)",
                        n_train)
         print(f"summary: cold {cold:.2f} vol/s, warm {warm:.2f} vol/s")
     finally:

@@ -230,6 +230,10 @@ def create_brats_data_loaders(data_dir: str, batch_size: int = 2,
     resolution patch sampling (foreground-biased random crops instead of
     whole-volume resize); validation stays whole-volume for comparable
     epoch metrics."""
+    # the on-device normalize/augment compiles are 30-150 s on this
+    # attach; make every process after the first start warm
+    from ..environment import ensure_compilation_cache
+    ensure_compilation_cache()
     train_ds = BraTS2024Dataset(data_dir, mode="train", augment=True)
     val_ds = BraTS2024Dataset(data_dir, mode="val", augment=False)
     train = DeviceDataLoader(

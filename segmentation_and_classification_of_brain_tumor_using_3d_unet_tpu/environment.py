@@ -77,6 +77,28 @@ def describe_devices() -> str:
         return f"no accelerator ({e})"
 
 
+def ensure_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    XLA compiles of the full-resolution normalize/augment/train programs
+    take 30-150 s each on this class of attach; the persistent cache
+    makes every process after the first start in seconds. Honors
+    ``SEG3D_JAX_CACHE_DIR``; defaults to ``~/.cache/seg3d-unet-jax``.
+    """
+    import jax
+    cache_dir = (cache_dir or os.environ.get("SEG3D_JAX_CACHE_DIR")
+                 or os.path.expanduser("~/.cache/seg3d-unet-jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        if jax.config.jax_compilation_cache_dir != cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:      # never make startup fatal over caching
+        logger.warning("compilation cache unavailable: %s", e)
+    return cache_dir
+
+
 def setup_environment(seed: int = 42, log_dir: str = "logs",
                       create_dirs: bool = True):
     """Seed + logging + dirs + dependency check; returns
@@ -91,6 +113,7 @@ def setup_environment(seed: int = 42, log_dir: str = "logs",
     if not ok:
         logger.warning("some required dependencies are missing")
     logger.info("devices: %s", describe_devices())
+    ensure_compilation_cache()
     import jax
     return jax.random.PRNGKey(seed), log_path
 

@@ -396,6 +396,8 @@ def main(host: str = "0.0.0.0", port: int = 5000,
          warmup: bool = True):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
+    from ..environment import ensure_compilation_cache
+    ensure_compilation_cache()   # warm restarts skip the 30-150s compiles
     server = create_server(host, port)
     if warmup:
         # compile the inference programs before the first request so an

@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def train_main(argv: Optional[Sequence[str]] = None):
+    from ..environment import ensure_compilation_cache
+    ensure_compilation_cache()
     """Programmatic entry (parity with ``train_model.main``)."""
     import jax
     import jax.numpy as jnp
