@@ -57,9 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def train_main(argv: Optional[Sequence[str]] = None):
+    """Programmatic entry (parity with ``train_model.main``)."""
     from ..environment import ensure_compilation_cache
     ensure_compilation_cache()
-    """Programmatic entry (parity with ``train_model.main``)."""
     import jax
     import jax.numpy as jnp
 
