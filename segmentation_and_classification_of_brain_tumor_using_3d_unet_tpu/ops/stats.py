@@ -29,7 +29,18 @@ def percentile(x: jax.Array, q, axis=None) -> jax.Array:
         hi = jnp.clip(lo + 1, 0, n - 1)
         w = idx - lo.astype(jnp.float32)
         return s[lo] * (1.0 - w) + s[hi] * w
-    raise NotImplementedError("axis-wise percentile not needed yet")
+    # axis-wise: sort along the axis, linear-interpolate per slice
+    s = jnp.sort(x.astype(jnp.float32), axis=axis)
+    n = s.shape[axis]
+    idx = q / 100.0 * (n - 1)
+    lo = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    w = idx - lo.astype(jnp.float32)
+    s_lo = jax.lax.dynamic_index_in_dim(s, lo, axis=axis,
+                                        keepdims=False)
+    s_hi = jax.lax.dynamic_index_in_dim(s, hi, axis=axis,
+                                        keepdims=False)
+    return s_lo * (1.0 - w) + s_hi * w
 
 
 def percentile_bisect(x: jax.Array, qs, iters: int = 26) -> jax.Array:

@@ -111,3 +111,14 @@ def test_compute_all_metrics_contract(masks):
                         "hausdorff"}
     facade = metrics.SegmentationMetrics.compute_all_metrics(pred, target)
     assert facade["dice"] == pytest.approx(out["dice"])
+
+
+def test_percentile_axiswise_matches_numpy(rng):
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.stats import (
+        percentile)
+    x = rng.normal(size=(5, 100)).astype(np.float32)
+    for q, ax in [(75.0, 1), (30.0, 0), (1.0, 1), (99.0, 0)]:
+        got = np.asarray(percentile(jnp.asarray(x), q, axis=ax))
+        np.testing.assert_allclose(got, np.percentile(x, q, axis=ax),
+                                   rtol=1e-5, atol=1e-5)
