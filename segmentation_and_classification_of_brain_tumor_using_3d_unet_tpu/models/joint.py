@@ -58,8 +58,10 @@ def joint_loss(out: Dict[str, Any], seg_targets, grade_targets,
     """seg loss (incl. deep supervision) + weighted grade CE."""
     seg_loss = seg_loss_fn(out, seg_targets)
     logp = jax.nn.log_softmax(out["grade_logits"], axis=-1)
-    ce = -jnp.mean(jnp.take_along_axis(
-        logp, grade_targets[:, None], axis=-1))
+    # dense one-hot pick for consistency with losses.py (TPU gathers
+    # are slow; at (B, 4) it only matters for uniformity)
+    oh = jax.nn.one_hot(grade_targets, logp.shape[-1], dtype=logp.dtype)
+    ce = -jnp.mean(jnp.sum(logp * oh, axis=-1))
     return seg_loss + cls_weight * ce, {"seg_loss": seg_loss,
                                         "grade_ce": ce}
 

@@ -120,6 +120,28 @@ KSPLIT_MAX_CO = int(_os.environ.get("SEG3D_KSPLIT_MAX_CO", "16"))
 # default; kept (tested, exact) for experiments via SEG3D_ZSUM_MAX_CO.
 ZSUM_MAX_CO = int(_os.environ.get("SEG3D_ZSUM_MAX_CO", "0"))
 
+# Per-block formulation overrides for experiments: a comma-separated
+# list of <module-path-substring>=<zcat|ksplit|zsum> pairs, e.g.
+# SEG3D_FORM_OVERRIDE="dec4=ksplit,down0/conv2=zsum". Matched against
+# the flax module path of the conv; first match wins. The uniform
+# Cout-threshold sweeps switch encoder and decoder blocks together, so
+# per-block wins (cf. the enc/dec int8 asymmetry) would cancel there.
+_FORM_OVERRIDES = [
+    tuple(pair.split("=", 1))
+    for pair in _os.environ.get("SEG3D_FORM_OVERRIDE", "").split(",")
+    if "=" in pair
+]
+_FORMS = {}
+
+
+def conv3d_form(name: str):
+    """Formulation function for a conv at flax path ``name`` (honors
+    SEG3D_FORM_OVERRIDE; falls back to the measured default policy)."""
+    for sub, form in _FORM_OVERRIDES:
+        if sub in name:
+            return _FORMS[form]
+    return conv3d_3x3x3
+
 
 def conv3d_3x3x3(x: jax.Array, w: jax.Array,
                  bias: Optional[jax.Array] = None) -> jax.Array:
@@ -372,7 +394,9 @@ class FastConv3D(nn.Module):
             return conv3d_zcat_int8(x, kernel, scale, bias)
         x = x.astype(self.dtype)
         if k == (3, 3, 3):
-            return conv3d_3x3x3(x, kernel.astype(self.dtype), bias)
+            fn = (conv3d_form("/".join(map(str, self.scope.path)))
+                  if _FORM_OVERRIDES else conv3d_3x3x3)
+            return fn(x, kernel.astype(self.dtype), bias)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
         y = jax.lax.conv_general_dilated(
@@ -404,3 +428,7 @@ class FastConvTranspose3D(nn.Module):
                 if self.use_bias else None)
         return conv_transpose3d_k2s2(
             x.astype(self.dtype), kernel.astype(self.dtype), bias)
+
+
+_FORMS.update({"zcat": conv3d_zcat, "ksplit": conv3d_ksplit,
+               "zsum": conv3d_zsum, "auto": conv3d_3x3x3})

@@ -279,3 +279,23 @@ def test_conv3d_zsum_grad_matches_zcat(rng):
     gz = jax.grad(lambda w: jnp.sum(conv3d_zcat(x, w) ** 2))(w)
     np.testing.assert_allclose(np.asarray(gzs), np.asarray(gz),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_form_override_matches_default(rng, monkeypatch):
+    """SEG3D_FORM_OVERRIDE reroutes a block's convs to an equivalent
+    formulation without changing numerics."""
+    import importlib
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops import conv as convmod
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 4)).astype(np.float32))
+    model = UNet3D(out_channels=4, features=(8, 16), dtype=jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    base = model.apply(v, x, train=False)["logits"]
+    monkeypatch.setattr(convmod, "_FORM_OVERRIDES",
+                        [("dec1", "ksplit"), ("down0", "zsum")])
+    got = model.apply(v, x, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=1e-4, rtol=1e-4)
