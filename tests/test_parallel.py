@@ -148,3 +148,29 @@ def test_entry_compiles_cpu():
     small = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
     out = jax.jit(fn)(v, small)
     assert out.shape == (1, 32, 32, 32, 4)
+
+
+def test_dp_batch_inference_matches_single_device(rng):
+    """Mesh-sharded cohort segmentation == per-volume single-device."""
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu import (
+        models)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.parallel import (
+        create_mesh, segment_cohort)
+
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    vols = rng.normal(size=(5, *IMG, 4)).astype(np.float32)  # 5 % 8 != 0
+    vars_ = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *IMG, 4)), train=False)
+
+    want = []
+    for v in vols:
+        out = model.apply(vars_, jnp.asarray(v)[None], train=False)
+        want.append(np.asarray(
+            jnp.argmax(out["logits"][0], -1).astype(jnp.int8)))
+    want = np.stack(want)
+
+    mesh = create_mesh(8, 1)
+    got = segment_cohort(model, vars_, mesh, vols)
+    np.testing.assert_array_equal(got, want)
