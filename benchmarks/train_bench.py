@@ -21,6 +21,11 @@ def main():
                     default=(128, 128, 128))
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--sustained", action="store_true",
+                    help="chain steps inside one jit (lax.scan) with a "
+                         "single readback — device throughput without "
+                         "the ~26 ms/step attach RTT that per-call "
+                         "timing pays (same methodology as bench.py)")
     args = ap.parse_args()
 
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
@@ -44,6 +49,39 @@ def main():
             0, 4, size=(args.batch, *size)).astype(np.int32)),
     }
     key = jax.random.PRNGKey(1)
+
+    if args.sustained:
+        import jax as _jax
+
+        def chained(state, batch, key):
+            def body(carry, i):
+                st, k = carry
+                st, m = step_fn(st, batch, _jax.random.fold_in(k, i))
+                return (st, k), m["loss"]
+            (state, _), losses = _jax.lax.scan(
+                body, (state, key), jnp.arange(args.iters))
+            return state, losses
+
+        from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.loop import (
+            make_train_step)
+        step_fn = make_train_step(cfg, donate=False)
+        run = _jax.jit(chained, donate_argnums=(0,))
+        t0 = time.time()
+        state2, losses = run(state, batch, key)
+        float(losses[-1])
+        print(f"compile+first wave: {time.time() - t0:.1f}s")
+        times = []
+        st = state2
+        for _ in range(3):
+            t0 = time.time()
+            st, losses = run(st, batch, key)
+            float(losses[-1])
+            times.append(time.time() - t0)
+        per = min(times) / args.iters
+        print(f"sustained train step {size} b{args.batch} "
+              f"remat={not args.no_remat}: {per*1e3:.1f} ms/step = "
+              f"{args.batch/per:.2f} patches/s")
+        return
 
     t0 = time.time()
     state, m = step(state, batch, key)
