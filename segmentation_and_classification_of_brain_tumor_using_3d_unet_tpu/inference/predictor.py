@@ -73,12 +73,17 @@ class Predictor:
 
     # -------------------- segmentation --------------------
 
-    def _whole_volume_logits(self, volume: Array) -> Array:
+    def _whole_volume_logits(self, variables, volume: Array) -> Array:
         """Reference semantics: resize -> single forward -> logits at the
-        input resolution (``main.py:386-395``)."""
+        input resolution (``main.py:386-395``).
+
+        ``variables`` is an explicit argument (not a closure capture) so
+        the weights lower to runtime parameters, not HLO constants — a
+        weights-sized compile payload trips request-size limits on
+        remote-compile attaches (observed: HTTP 413 on axon)."""
         size = self.config.data.image_size
         x = resize_trilinear(volume[None], size)
-        out = self.seg_model.apply(self.seg_variables, x, train=False)
+        out = self.seg_model.apply(variables, x, train=False)
         logits = out["logits"]
         return resize_trilinear(logits, volume.shape[:3])[0]
 
@@ -105,7 +110,7 @@ class Predictor:
             return self._sw(jnp.asarray(crop)), (offs, vol.shape[:3])
         if mode == "sliding_window":
             return self._sw(jnp.asarray(vol)), None
-        return self._whole(jnp.asarray(vol)), None
+        return self._whole(self.seg_variables, jnp.asarray(vol)), None
 
     def segment_tumor(self, volume: np.ndarray,
                       mode: str = "sliding_window") -> np.ndarray:
@@ -143,10 +148,10 @@ class Predictor:
 
     # -------------------- classification --------------------
 
-    def _classify_logits(self, volume: Array) -> Array:
+    def _classify_logits(self, variables, volume: Array) -> Array:
         size = self.config.data.image_size
         x = resize_trilinear(volume[None], size)
-        return self.cls_model.apply(self.cls_variables, x, train=False)
+        return self.cls_model.apply(variables, x, train=False)
 
     def classify_tumor(self, volume: np.ndarray,
                        segmentation: Optional[np.ndarray] = None
@@ -162,7 +167,7 @@ class Predictor:
             vol = vol[..., None]
         if vol.shape[-1] != 4:
             vol = jnp.repeat(vol[..., :1], 4, axis=-1)
-        logits = self._classify(vol)
+        logits = self._classify(self.cls_variables, vol)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         idx = int(np.argmax(probs))
         return CLASS_NAMES[idx], float(probs[idx])
@@ -176,7 +181,7 @@ class Predictor:
             self.seg_model, self.seg_variables, roi_size=ic.roi_size,
             overlap=ic.overlap, sw_batch_size=ic.sw_batch_size,
             blend_mode=ic.blend_mode, sigma_scale=ic.gaussian_sigma_scale)
-        self._whole = jax.jit(self._whole_volume_logits)
+        # _whole/_classify take variables as runtime arguments; no re-jit
 
 
 def preprocess_image(path_or_array, target_size=(128, 128, 128)

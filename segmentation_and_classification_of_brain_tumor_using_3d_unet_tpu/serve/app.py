@@ -109,6 +109,7 @@ class BrainTumorApp:
         os.makedirs(upload_dir, exist_ok=True)
         self._predictor = predictor
         self._predictor_lock = threading.Lock()
+        self.warmup_state = "off"
         if not lazy_models and self._predictor is None:
             self._get_predictor()
 
@@ -141,6 +142,7 @@ class BrainTumorApp:
                     return self._json({
                         "status": "ok", "device": _device_label(),
                         "models_loaded": self._predictor is not None,
+                        "warmup": self.warmup_state,
                         "sessions": training_manager.list_sessions(),
                     })
             if method == "POST":
@@ -392,6 +394,46 @@ def create_server(host: str = "0.0.0.0", port: int = 5000,
     return server
 
 
+def warmup_app(app, native_shape=(240, 240, 155)) -> None:
+    """Compile the inference programs the upload route will use.
+
+    Run in a background thread by ``main`` so the socket answers
+    immediately; an upload that arrives mid-warmup simply waits on the
+    predictor lock / XLA compile it would have paid anyway. The
+    reference builds its models at import time for the same reason
+    (``main.py:330-354``). State is surfaced at ``/health``.
+    """
+    import numpy as _np
+    app.warmup_state = "running"
+    try:
+        pred = app._get_predictor()
+        size = app.config.data.image_size
+        zeros = _np.zeros(size, _np.float32)
+        pred.segment_with_confidence(zeros, mode="whole_volume")
+        pred.classify_tumor(zeros)           # classifier jit
+        mode = app.config.inference.upload_mode
+        if mode != "whole_volume":
+            # native-resolution path: warm on a skull-stripped-shaped
+            # fixture so the crop bucket matches a typical BraTS brain
+            native = tuple(native_shape)
+            vol = _np.zeros(native, _np.float32)
+            c = [s // 2 for s in native]
+            # brain fills ~62% / 75% / 85% of each axis (BraTS-typical)
+            semi = tuple(max(2.0, f * s) for f, s in
+                         zip((0.31, 0.375, 0.43), native))
+            zz, yy, xx = _np.ogrid[:native[0], :native[1], :native[2]]
+            brain = (((zz - c[0]) / semi[0]) ** 2 +
+                     ((yy - c[1]) / semi[1]) ** 2 +
+                     ((xx - c[2]) / semi[2]) ** 2) < 1.0
+            vol[brain] = 0.5
+            pred.segment_with_confidence(vol, mode=mode)
+        app.warmup_state = "done"
+        logger.info("inference warmup complete")
+    except Exception as e:
+        app.warmup_state = f"failed: {e}"
+        logger.warning("warmup failed (serving anyway): %s", e)
+
+
 def main(host: str = "0.0.0.0", port: int = 5000,
          warmup: bool = True):
     logging.basicConfig(level=logging.INFO,
@@ -400,19 +442,8 @@ def main(host: str = "0.0.0.0", port: int = 5000,
     ensure_compilation_cache()   # warm restarts skip the 30-150s compiles
     server = create_server(host, port)
     if warmup:
-        # compile the inference programs before the first request so an
-        # upload never waits on XLA (the reference builds its models at
-        # import time for the same reason, main.py:330-354)
-        try:
-            import numpy as _np
-            app_ = server.app
-            pred = app_._get_predictor()
-            size = app_.config.data.image_size
-            pred.segment_with_confidence(
-                _np.zeros(size, _np.float32), mode="whole_volume")
-            logger.info("inference warmup complete")
-        except Exception as e:
-            logger.warning("warmup failed (serving anyway): %s", e)
+        threading.Thread(target=warmup_app, args=(server.app,),
+                         daemon=True, name="warmup").start()
     print("=" * 60)
     print("Brain Tumor Segmentation System (TPU-native)")
     print(f"Serving at http://{host}:{port}")

@@ -345,3 +345,16 @@ def test_index_page_ui_protocol():
                    'id="drop"', "dragover", "demoAnalysis", "STAGES",
                    "sparkline", "offline demo"):
         assert needle in page, needle
+
+
+def test_background_warmup_sets_state(app):
+    """warmup_app compiles the upload-route programs and surfaces its
+    state at /health (main() runs it in a daemon thread so the socket
+    answers during the compile)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve.app import (
+        warmup_app)
+    assert app.warmup_state == "off"
+    warmup_app(app, native_shape=(32, 32, 24))
+    assert app.warmup_state == "done"
+    status, _, payload = _get(app, "/health")
+    assert json.loads(payload)["warmup"] == "done"
