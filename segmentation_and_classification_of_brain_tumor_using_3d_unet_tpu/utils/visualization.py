@@ -240,16 +240,25 @@ class ModernMedicalVisualizer:
 
     def create_performance_heatmap(self, confusion: np.ndarray,
                                    save_path: Optional[str] = None) -> str:
+        """Confusion-matrix heatmap. Uses seaborn's annotated-heatmap
+        styling when available (matching the reference,
+        ``utils/visualization.py:366-380``), plain matplotlib otherwise."""
         cm = np.asarray(confusion, np.float64)
         fig, ax = plt.subplots(figsize=(6, 5))
-        im = ax.imshow(cm, cmap="Blues")
-        for i in range(cm.shape[0]):
-            for j in range(cm.shape[1]):
-                ax.text(j, i, f"{cm[i, j]:.0f}", ha="center", va="center")
+        try:
+            import seaborn as sns
+            sns.heatmap(cm, annot=True, fmt=".0f", cmap="Blues",
+                        cbar=True, square=True, ax=ax)
+        except ImportError:
+            im = ax.imshow(cm, cmap="Blues")
+            for i in range(cm.shape[0]):
+                for j in range(cm.shape[1]):
+                    ax.text(j, i, f"{cm[i, j]:.0f}",
+                            ha="center", va="center")
+            ax.set_xticks(range(cm.shape[1]))
+            ax.set_yticks(range(cm.shape[0]))
+            fig.colorbar(im)
         ax.set_xlabel("predicted"); ax.set_ylabel("true")
-        ax.set_xticks(range(cm.shape[1]))
-        ax.set_yticks(range(cm.shape[0]))
-        fig.colorbar(im)
         if save_path:
             fig.savefig(save_path, dpi=130, bbox_inches="tight")
         return _fig_to_base64(fig)

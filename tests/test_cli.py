@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.cli import (

@@ -35,6 +35,7 @@ def tiny_config(tmp):
         use_tensorboard=False)
 
 
+@pytest.mark.slow
 def test_train_checkpoint_predict_roundtrip(tmp_path):
     cfg = tiny_config(str(tmp_path))
     data_dir = create_enhanced_synthetic_data(

@@ -45,6 +45,7 @@ def test_unet_train_deep_outputs(unet_vars):
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 def test_unet_bf16_compute_fp32_out():
     model = models.UNet3D(out_channels=4, features=FEATS,
                           dtype=jnp.bfloat16)
@@ -57,6 +58,7 @@ def test_unet_bf16_compute_fp32_out():
     assert all(l.dtype == jnp.float32 for l in leaves)
 
 
+@pytest.mark.slow
 def test_unet_gradients_finite(unet_vars):
     model, variables = unet_vars
     x = jnp.ones(SHAPE, jnp.float32)
@@ -75,6 +77,7 @@ def test_unet_gradients_finite(unet_vars):
                for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_unet_remat_matches():
     x = jnp.linspace(0, 1, int(np.prod(SHAPE)),
                      dtype=jnp.float32).reshape(SHAPE)

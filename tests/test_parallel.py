@@ -39,6 +39,7 @@ def test_mesh_shapes():
         create_mesh(16, 1)
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device(rng):
     """Gradient psum over the mesh must reproduce single-device math."""
     cfg = tiny_config()
@@ -142,6 +143,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)   # asserts internally
 
 
+@pytest.mark.slow
 def test_entry_compiles_cpu():
     import __graft_entry__ as g
     fn, (v, x) = g.entry()
@@ -150,6 +152,7 @@ def test_entry_compiles_cpu():
     assert out.shape == (1, 32, 32, 32, 4)
 
 
+@pytest.mark.slow
 def test_dp_batch_inference_matches_single_device(rng):
     """Mesh-sharded cohort segmentation == per-volume single-device."""
     import jax.numpy as jnp

@@ -78,6 +78,7 @@ def test_quant_scales_from_stats_rename():
         float(q["down0"]["conv1"]["act_scale"]), 0.1, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_model_tracks_bf16(rng):
     model, x, vars_ = _tiny_model_and_input(rng)
     ref = model.apply(vars_, x, train=False)["logits"]

@@ -120,6 +120,7 @@ def test_upload_demo_contract(app):
     assert j["quality_metrics"]["estimated"] is True
 
 
+@pytest.mark.slow
 def test_upload_real_inference(app, tmp_path, rng):
     """A real .npy upload goes through actual model inference."""
     vol = rng.normal(0.5, 0.2, (16, 16, 16)).astype(np.float32)
@@ -140,6 +141,7 @@ def test_upload_real_inference(app, tmp_path, rng):
     assert j["patient_info"]["filename"] == "t.npy"
 
 
+@pytest.mark.slow
 def test_upload_native_resolution_sliding_window(app, rng):
     """Uploads keep NATIVE resolution: a volume larger than the model
     size goes through the foreground-cropped Gaussian sliding-window
@@ -205,6 +207,7 @@ def test_training_jobs_stop():
     assert not mgr.stop_training_session("bogus_id")
 
 
+@pytest.mark.slow
 def test_start_training_route_real_mode(app):
     """Real-mode web training end-to-end on a tiny config."""
     status, _, payload = _post_json(app, "/start_training", {

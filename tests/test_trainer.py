@@ -83,6 +83,7 @@ def test_train_step_runs_and_learns(brats_dir):
     assert ev["pred_labels"].shape == batch["mask"].shape
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(brats_dir, tmp_path):
     cfg = tiny_config(
         models_dir=str(tmp_path / "models"),
