@@ -143,6 +143,14 @@ class InferenceConfig:
     # cropping; "whole_volume" reproduces the reference's destructive
     # zoom-to-model-size semantics (main.py:382-398)
     upload_mode: str = "cropped"
+    # canonical crop-bucket sizes for serving: each crop axis rounds up
+    # to the smallest rung, so a serving process compiles at most a
+    # handful of sliding-window programs regardless of brain sizes
+    # (a novel shape costs minutes of XLA compile; ~10% extra voxels
+    # buys that latency stability). () disables — every extent rounds
+    # to the next multiple of 16 (best per-volume throughput; what the
+    # headline bench measures).
+    crop_bucket_ladder: Tuple[int, ...] = (96, 128, 160, 192, 224, 256)
 
 
 @dataclass(frozen=True)

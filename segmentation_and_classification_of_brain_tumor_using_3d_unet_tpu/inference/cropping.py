@@ -65,14 +65,30 @@ def nonzero_bbox(vol: np.ndarray, tol: float = 0.0,
 
 
 def bucket_shape(extent: Sequence[int], full: Sequence[int],
-                 multiple: int = 16, min_size: int = 64
-                 ) -> Tuple[int, int, int]:
+                 multiple: int = 16, min_size: int = 64,
+                 ladder: Sequence[int] = None) -> Tuple[int, int, int]:
     """Round each extent up to ``multiple`` (>= ``min_size``), capped at
     the full volume dimension rounded up to ``multiple`` (the sliding
-    window pads past the volume edge when the cap exceeds it)."""
+    window pads past the volume edge when the cap exceeds it).
+
+    ``ladder``: optional ascending canonical sizes (e.g. ``(96, 128,
+    160, 192, 224, 256)``). Each axis rounds up to the smallest ladder
+    rung instead of the next ``multiple`` — bounding the number of
+    distinct compiled programs a serving process can see to
+    ``len(ladder)^3`` (2-3 in practice for BraTS brains) at the cost of
+    ~10% extra voxels. Compiling a fresh sliding-window program costs
+    minutes on a cold cache; serving trades throughput for that latency
+    stability. Extents past the last rung fall back to ``multiple``
+    rounding; the full-volume cap still applies."""
     out = []
     for e, f in zip(extent, full):
-        b = int(np.ceil(max(int(e), min_size) / multiple)) * multiple
+        e = max(int(e), min_size)
+        b = int(np.ceil(e / multiple)) * multiple
+        if ladder:
+            for rung in sorted(ladder):
+                if rung >= e:
+                    b = int(rung)
+                    break
         cap = int(np.ceil(f / multiple)) * multiple
         out.append(min(b, cap))
     return tuple(out)
@@ -92,14 +108,16 @@ def crop_offsets(box: Box, bucket: Sequence[int], full: Sequence[int]
 
 
 def plan_crop(vol: np.ndarray, multiple: int = 16, min_size: int = 64,
-              tol: float = 0.0, background: str = "corner"
+              tol: float = 0.0, background: str = "corner",
+              ladder: Sequence[int] = None
               ) -> Tuple[Tuple[int, int, int], Tuple[int, int, int]]:
     """(offsets, bucket shape) for one volume — the host-side plan that
     keeps device shapes static."""
     full = vol.shape[:3]
     lo, hi = nonzero_bbox(vol, tol, background)
     bucket = bucket_shape([h - l for l, h in zip(lo, hi)], full,
-                          multiple=multiple, min_size=min_size)
+                          multiple=multiple, min_size=min_size,
+                          ladder=ladder)
     return crop_offsets((lo, hi), bucket, full), bucket
 
 

@@ -103,9 +103,10 @@ class Predictor:
         (logits, crop_plan) — crop_plan is (offsets, full_shape) when the
         logits cover only the foreground window, else None."""
         if mode == "cropped":
+            ic = self.config.inference
             offs, bucket = cropping.plan_crop(
-                vol, multiple=16,
-                min_size=min(self.config.inference.roi_size))
+                vol, multiple=16, min_size=min(ic.roi_size),
+                ladder=getattr(ic, "crop_bucket_ladder", None))
             crop = cropping.extract_crop(vol, offs, bucket)
             return self._sw(jnp.asarray(crop)), (offs, vol.shape[:3])
         if mode == "sliding_window":

@@ -220,9 +220,17 @@ class BrainTumorApp:
 
     def _analyze(self, filepath: Optional[str], demo: bool) -> Dict:
         """Upload pipeline: decode -> preprocess -> segment (+confidence)
-        -> classify -> metrics -> visualizations -> clinical report."""
+        -> classify -> metrics -> visualizations -> clinical report.
+        Logs per-phase wall time at INFO."""
         from ..data.synthetic import synthesize_volume
         from ..utils.visualization import ModernMedicalVisualizer
+
+        t0 = time.time()
+
+        def mark(phase):
+            nonlocal t0
+            logger.info("upload %s: %.1fs", phase, time.time() - t0)
+            t0 = time.time()
 
         size = self.config.data.image_size
         vol = None
@@ -236,10 +244,13 @@ class BrainTumorApp:
                 # the reference's destructive zoom (main.py:382-398)
                 vol = preprocess_image(
                     filepath, size if mode == "whole_volume" else None)
+                mark("preprocess")
                 predictor = self._get_predictor()
                 seg, conf = predictor.segment_with_confidence(
                     vol, mode=mode)
+                mark("segment")
                 cls_name, cls_conf = predictor.classify_tumor(vol, seg)
+                mark("classify")
                 quality_conf = conf
                 degraded = False
             except Exception as e:
@@ -258,6 +269,7 @@ class BrainTumorApp:
         report = generate_clinical_report(
             metrics, filename=filepath or "demo",
             classifier_confidence=cls_conf)
+        mark("metrics+report")
 
         viz = ModernMedicalVisualizer()
         visualizations = {
@@ -265,6 +277,7 @@ class BrainTumorApp:
             "analysis": viz.create_volume_analysis_dashboard(vol, seg),
             "visualization_3d": viz.create_3d_tumor_reconstruction(seg),
         }
+        mark("visualizations")
         if cls_name is not None:
             report["classification"]["model_classification"] = cls_name
         return {

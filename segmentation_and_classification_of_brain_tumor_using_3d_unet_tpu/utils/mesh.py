@@ -125,13 +125,19 @@ _MT_TRIS = {
 
 
 def marching_tetrahedra(field: np.ndarray, level: float = 0.5,
-                        spacing: Tuple[float, float, float] = (1., 1., 1.)
+                        spacing: Tuple[float, float, float] = (1., 1., 1.),
+                        chunk: int = 1 << 19
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Smooth isosurface of a scalar field -> (verts (V,3), faces (F,3)).
 
     Vertices lie on cube edges at the linear-interpolation crossing of
     ``level`` (for a binary mask at level 0.5: edge midpoints), the same
     construction as marching cubes. Vertices are deduplicated.
+
+    Active cubes are processed in ``chunk``-sized batches: the per-cube
+    intermediates are ~50x the cube count in bytes, and a pathological
+    (e.g. speckled) mask can activate nearly every cube of a 240^3 grid
+    — unchunked that is gigabytes of transient allocation.
     """
     f = np.pad(np.asarray(field, np.float32), 1, constant_values=0.0)
     inside = f > level
@@ -142,36 +148,38 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.5,
         sl = inside[dx:dx + core.shape[0], dy:dy + core.shape[1],
                     dz:dz + core.shape[2]]
         mixed |= sl != core
-    base = np.argwhere(mixed)                       # (C, 3)
-    if len(base) == 0:
+    base_all = np.argwhere(mixed).astype(np.int32)  # (C, 3)
+    if len(base_all) == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
 
-    # per cube: corner coords + values
-    corners = base[:, None, :] + _MT_CORNERS[None]          # (C, 8, 3)
-    vals = f[corners[..., 0], corners[..., 1], corners[..., 2]]
-
-    # per tet (C*6): 4 corner ids + values
-    tet_corner = corners[:, _MT_TETS, :].reshape(-1, 4, 3)  # (T, 4, 3)
-    tet_val = vals[:, _MT_TETS].reshape(-1, 4)              # (T, 4)
-    bits = ((tet_val > level) << np.arange(4)).sum(axis=1)  # (T,)
-
     tri_pts = []
-    for case, tris in _MT_TRIS.items():
-        sel = np.nonzero(bits == case)[0]
-        if len(sel) == 0:
-            continue
-        c = tet_corner[sel]                                  # (S, 4, 3)
-        v = tet_val[sel]                                     # (S, 4)
-        # interpolated point on each of the 6 tet edges
-        a, b = _MT_EDGES[:, 0], _MT_EDGES[:, 1]
-        va, vb = v[:, a], v[:, b]                            # (S, 6)
-        t = np.clip((level - va) / np.where(
-            vb - va == 0, 1e-12, vb - va), 0.0, 1.0)[..., None]
-        pts = c[:, a].astype(np.float32) * (1 - t) + \
-            c[:, b].astype(np.float32) * t                   # (S, 6, 3)
-        for e0, e1, e2 in tris:
-            tri_pts.append(np.stack(
-                [pts[:, e0], pts[:, e1], pts[:, e2]], axis=1))
+    for start in range(0, len(base_all), chunk):
+        base = base_all[start:start + chunk]
+        # per cube: corner coords + values
+        corners = base[:, None, :] + _MT_CORNERS[None].astype(np.int32)
+        vals = f[corners[..., 0], corners[..., 1], corners[..., 2]]
+
+        # per tet (C*6): 4 corner ids + values
+        tet_corner = corners[:, _MT_TETS, :].reshape(-1, 4, 3)
+        tet_val = vals[:, _MT_TETS].reshape(-1, 4)          # (T, 4)
+        bits = ((tet_val > level) << np.arange(4)).sum(axis=1)
+
+        for case, tris in _MT_TRIS.items():
+            sel = np.nonzero(bits == case)[0]
+            if len(sel) == 0:
+                continue
+            c = tet_corner[sel]                              # (S, 4, 3)
+            v = tet_val[sel]                                 # (S, 4)
+            # interpolated point on each of the 6 tet edges
+            a, b = _MT_EDGES[:, 0], _MT_EDGES[:, 1]
+            va, vb = v[:, a], v[:, b]                        # (S, 6)
+            t = np.clip((level - va) / np.where(
+                vb - va == 0, 1e-12, vb - va), 0.0, 1.0)[..., None]
+            pts = c[:, a].astype(np.float32) * (1 - t) + \
+                c[:, b].astype(np.float32) * t               # (S, 6, 3)
+            for e0, e1, e2 in tris:
+                tri_pts.append(np.stack(
+                    [pts[:, e0], pts[:, e1], pts[:, e2]], axis=1))
     tri = np.concatenate(tri_pts, axis=0)                    # (F, 3, 3)
     tri -= 1.0                                               # unpad
     tri *= np.asarray(spacing, np.float32)
@@ -209,16 +217,49 @@ def laplacian_smooth(verts: np.ndarray, faces: np.ndarray,
     return v
 
 
+def downsample_mask(mask: np.ndarray, k: int) -> np.ndarray:
+    """Boolean max-pool by factor ``k`` along each axis (any-reduce, so
+    thin structures survive). Pads the far edges to a multiple of k."""
+    m = np.asarray(mask).astype(bool)
+    if k <= 1:
+        return m
+    pads = [(0, (-s) % k) for s in m.shape]
+    if any(p[1] for p in pads):
+        m = np.pad(m, pads)
+    d, h, w = (s // k for s in m.shape)
+    return m.reshape(d, k, h, k, w, k).any(axis=(1, 3, 5))
+
+
 def smooth_surface_mesh(mask: np.ndarray, sigma: float = 1.0,
-                        smooth_iters: int = 4
+                        smooth_iters: int = 4,
+                        max_voxels: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Binary mask -> smooth (marching-cubes-quality) triangle mesh:
     Gaussian-smoothed field -> marching tetrahedra -> Laplacian
     smoothing. Replaces the blocky exposed-voxel-face mesh for 3D
-    visualization (reference ``utils/visualization.py:153-209``)."""
-    m = np.asarray(mask).astype(np.float32)
-    if not (m > 0.5).any():
+    visualization (reference ``utils/visualization.py:153-209``).
+
+    ``max_voxels`` > 0 bounds the meshing work: masks over the volume
+    budget OR over the derived surface budget (``max_voxels // 8``
+    exposed voxel faces — surface is what sets the triangle count, and
+    a speckled mask has enormous surface at modest volume) are
+    max-pool-downsampled until they fit, and the vertices scaled back.
+    A pathological segmentation therefore cannot stall the caller for
+    minutes of host meshing or emit a multi-10MB mesh — an
+    upload-serving requirement. Realistic tumor masses sit far under
+    both budgets and are meshed exactly. 0 = exact, no cap."""
+    m0 = np.asarray(mask).astype(bool)
+    if not m0.any():
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    m = m0
+    scale = 1
+    if max_voxels:
+        surf_budget = max(1000, max_voxels // 8)
+        while scale < 32 and (m.sum() > max_voxels or
+                              surface_area_voxel(m) > surf_budget):
+            scale *= 2
+            m = downsample_mask(m0, scale)
+    m = m.astype(np.float32)
     try:
         from scipy import ndimage
         f = ndimage.gaussian_filter(m, sigma)
@@ -227,7 +268,8 @@ def smooth_surface_mesh(mask: np.ndarray, sigma: float = 1.0,
     verts, faces = marching_tetrahedra(f, 0.5)
     if len(verts) == 0:   # tiny/thin masks can vanish under smoothing
         verts, faces = marching_tetrahedra(m, 0.5)
-    return laplacian_smooth(verts, faces, smooth_iters), faces
+    verts = laplacian_smooth(verts, faces, smooth_iters)
+    return verts * np.float32(scale), faces
 
 
 def isosurface_area(mask: np.ndarray,

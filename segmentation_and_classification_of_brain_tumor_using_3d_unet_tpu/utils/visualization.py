@@ -176,11 +176,15 @@ class ModernMedicalVisualizer:
 
     def create_3d_tumor_reconstruction(self, segmentation: np.ndarray,
                                        save_path: Optional[str] = None,
-                                       min_voxels: int = 100) -> str:
+                                       min_voxels: int = 100,
+                                       max_voxels: int = 200_000) -> str:
         """Per-class isosurface -> plotly Mesh3d HTML (capability parity
         with reference ``utils/visualization.py:153-209``; skips classes
         < min_voxels). Uses the smooth marching-tetrahedra mesher
-        (marching-cubes-quality surfaces, not blocky voxel faces)."""
+        (marching-cubes-quality surfaces, not blocky voxel faces).
+        Classes above ``max_voxels`` are meshed at reduced resolution so
+        a degenerate (speckled) segmentation cannot stall an upload
+        response for minutes of host meshing."""
         from .mesh import smooth_surface_mesh
         seg = np.asarray(segmentation)
         data = []
@@ -188,7 +192,7 @@ class ModernMedicalVisualizer:
             mask = seg == cls
             if mask.sum() < min_voxels:
                 continue
-            verts, faces = smooth_surface_mesh(mask)
+            verts, faces = smooth_surface_mesh(mask, max_voxels=max_voxels)
             if len(faces) == 0:
                 continue
             data.append({

@@ -113,3 +113,33 @@ def test_corner_background_bbox_after_zscore():
     noisy = np.random.default_rng(1).normal(size=(8, 9, 10, 2))
     lo, hi = nonzero_bbox(noisy)
     assert lo == (0, 0, 0) and hi == (8, 9, 10)
+
+
+def test_bucket_ladder_canonicalizes_shapes():
+    """With a ladder, nearby extents land on the same canonical bucket
+    (one compiled program instead of one per multiple-of-16 shape)."""
+    ladder = (96, 128, 160, 192, 224, 256)
+    full = (240, 240, 155)
+    # extents 130..160 all snap to rung 160 (multiple-16 would give
+    # 144, 160 — two shapes)
+    for e in (130, 144, 150, 160):
+        assert bucket_shape((e, e, e), full, ladder=ladder) == \
+            (160, 160, 160)
+    # caps still apply: W axis full=155 -> cap 160
+    assert bucket_shape((150, 181, 200), full, ladder=ladder) == \
+        (160, 192, 160)
+    # past the last rung: falls back to multiple rounding, capped
+    assert bucket_shape((300, 64, 64), (400, 240, 155),
+                        ladder=ladder) == (304, 96, 96)
+    # ladder=None preserves the original behaviour
+    assert bucket_shape((130, 130, 130), full) == (144, 144, 144)
+
+
+def test_plan_crop_uses_ladder():
+    vol = _brain(shape=(200, 200, 120), lo=(10, 10, 10),
+                 hi=(150, 160, 110))
+    offs, bucket = plan_crop(vol, ladder=(96, 128, 160, 192, 224))
+    assert bucket == (160, 160, 128)   # W capped at ceil(120/16)*16
+    # offsets keep the window inside the volume
+    assert all(0 <= o and o + b <= max(f, b)
+               for o, b, f in zip(offs, bucket, vol.shape[:3]))

@@ -162,3 +162,27 @@ def test_marching_tetrahedra_watertight_and_smooth_mesh():
     # empty mask
     ev, ef = smooth_surface_mesh(np.zeros((4, 4, 4), bool))
     assert len(ev) == 0 and len(ef) == 0
+
+
+def test_mesh_work_cap_bounds_pathological_masks():
+    """A speckled high-volume mask (a degenerate segmentation) must mesh
+    in bounded time/memory via the max_voxels downsampling cap, with
+    vertices scaled back to the input grid."""
+    import time
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.utils.mesh import (
+        downsample_mask, smooth_surface_mesh)
+    rng = np.random.default_rng(0)
+    mask = rng.random((120, 120, 96)) < 0.3    # ~415k speckled voxels
+    t0 = time.time()
+    verts, faces = smooth_surface_mesh(mask, max_voxels=50_000)
+    dt = time.time() - t0
+    assert len(faces) > 0
+    assert dt < 30.0
+    # vertices live on the original grid's extent, not the pooled one
+    assert verts.max() > 60
+    assert verts.max() <= 122 * 2   # scaled by the pool factor, bounded
+    # the any-pool keeps thin structures
+    thin = np.zeros((8, 8, 8), bool)
+    thin[4, :, :] = True
+    assert downsample_mask(thin, 2).any()
+    assert downsample_mask(thin, 2).shape == (4, 4, 4)
