@@ -143,7 +143,54 @@ def main():
         return mean_foreground_dice(out["logits"], msk, 4).astype(
             jnp.float32)
 
+    # --- step-glue decomposition (locate the fwd+bwd -> full-step gap) ---
+
+    def _grad_aux(a, bump, want_logits):
+        state, img, msk = a
+
+        def compute(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                img + bump, train=True, mutable=["batch_stats"],
+                rngs={"dropout": key})
+            aux = (mutated["batch_stats"],
+                   out["logits"] if want_logits else None)
+            return loss_fn(out, msk), aux
+        return jax.value_and_grad(compute, has_aux=True)(state.params)
+
+    def grad_dice(a, bump):
+        (loss, (_, logits)), grads = _grad_aux(a, bump, True)
+        msk = a[2]
+        return (loss.astype(jnp.float32)
+                + mean_foreground_dice(logits, msk, 4).astype(jnp.float32)
+                + sum(jnp.sum(g).astype(jnp.float32)
+                      for g in jax.tree_util.tree_leaves(grads)))
+
+    def grad_opt(a, bump):
+        state = a[0]
+        (loss, (new_bs, _)), grads = _grad_aux(a, bump, False)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return loss.astype(jnp.float32) + sum(
+            jnp.sum(p).astype(jnp.float32)
+            for p in jax.tree_util.tree_leaves(new_state.params))
+
+    def full_step(a, bump):
+        state = a[0]
+        msk = a[2]
+        (loss, (new_bs, logits)), grads = _grad_aux(a, bump, True)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return (loss.astype(jnp.float32)
+                + mean_foreground_dice(logits, msk, 4).astype(jnp.float32)
+                + sum(jnp.sum(p).astype(jnp.float32)
+                      for p in jax.tree_util.tree_leaves(new_state.params)))
+
     print(f"remat={remat} size={size} b{B}", flush=True)
+    if "--glue" in sys.argv:
+        timed(grad_full, args, 3, "fwd+bwd (deep sup)")
+        timed(grad_dice, args, 3, "fwd+bwd + dice (logits aux kept)")
+        timed(grad_opt, args, 3, "fwd+bwd + adamw apply")
+        timed(full_step, args, 3, "full step (bwd+dice+opt)")
+        return
     timed(fwd_eval, args, 4, "fwd eval (no deep sup, no dropout)")
     timed(fwd_loss_nodeep, args, 4, "fwd train + combined loss (no deep)")
     timed(fwd_loss, args, 4, "fwd train + deep-sup loss")

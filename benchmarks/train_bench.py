@@ -26,6 +26,13 @@ def main():
                          "single readback — device throughput without "
                          "the ~26 ms/step attach RTT that per-call "
                          "timing pays (same methodology as bench.py)")
+    ap.add_argument("--sync_per_step", action="store_true",
+                    help="read the loss back after every step (the "
+                         "round-1/2 methodology) — charges the ~26-46 ms "
+                         "attach RTT to every step; the real trainer "
+                         "accumulates device arrays and syncs once per "
+                         "epoch, so the default (pipelined) mode is the "
+                         "deployment-honest number")
     args = ap.parse_args()
 
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
@@ -88,15 +95,35 @@ def main():
     print(f"compile+first step: {time.time() - t0:.1f}s  "
           f"loss={float(m['loss']):.4f}")
 
+    if args.sync_per_step:
+        times = []
+        for i in range(args.iters):
+            t0 = time.time()
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            _ = float(m["loss"])     # sync
+            times.append(time.time() - t0)
+        med = float(np.median(times))
+        print(f"sync-per-step train step {size} b{args.batch} "
+              f"remat={not args.no_remat}: {med * 1e3:.1f} ms/step = "
+              f"{args.batch / med:.2f} patches/s")
+        return
+
+    # default: the trainer's dispatch pattern — per-call dispatch, NO
+    # per-step readback, one sync at the end (train_epoch accumulates
+    # device arrays and syncs once per epoch)
     times = []
-    for i in range(args.iters):
+    for _ in range(3):
+        losses = []
         t0 = time.time()
-        state, m = step(state, batch, jax.random.fold_in(key, i))
-        _ = float(m["loss"])     # sync
+        for i in range(args.iters):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            losses.append(m["loss"])       # device array, no sync
+        _ = float(jnp.mean(jnp.stack(losses)))   # one sync
         times.append(time.time() - t0)
-    med = float(np.median(times))
-    print(f"train step {size} b{args.batch} remat={not args.no_remat}: "
-          f"{med * 1e3:.1f} ms/step = {args.batch / med:.2f} patches/s")
+    per = min(times) / args.iters
+    print(f"pipelined train step {size} b{args.batch} "
+          f"remat={not args.no_remat}: {per*1e3:.1f} ms/step = "
+          f"{args.batch/per:.2f} patches/s")
 
 
 if __name__ == "__main__":
