@@ -42,6 +42,10 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
     const size_t len = std::strlen(path);
     const bool gz = len > 3 && std::strcmp(path + len - 3, ".gz") == 0;
     if (gz) {
+        // cap decompressed size: gzip expands up to ~1000x, so an
+        // uploaded bomb could otherwise exhaust host memory (largest
+        // legitimate volume is ~70 MB; 2 GB = 30x headroom)
+        const size_t kMaxDecompressed = size_t(2) << 30;
         gzFile f = gzopen(path, "rb");
         if (!f) return false;
         gzbuffer(f, 1 << 20);
@@ -49,8 +53,13 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
         out.reserve(1 << 24);
         uint8_t buf[1 << 20];
         int n;
-        while ((n = gzread(f, buf, sizeof(buf))) > 0)
+        while ((n = gzread(f, buf, sizeof(buf))) > 0) {
+            if (out.size() + size_t(n) > kMaxDecompressed) {
+                gzclose(f);
+                return false;
+            }
             out.insert(out.end(), buf, buf + n);
+        }
         gzclose(f);
         return n == 0;
     }

@@ -57,10 +57,22 @@ def _open(path: str, mode: str):
     return open(path, mode)
 
 
+# decompressed-size cap for reads: gzip expands up to ~1000x, so an
+# uploaded 100 MB .nii.gz bomb could otherwise decompress to ~100 GB
+# and exhaust host memory before any shape check runs. The largest
+# legitimate volume this stack handles (240x240x155 float64) is
+# ~70 MB; 2 GB leaves two orders of magnitude of headroom.
+MAX_DECOMPRESSED_BYTES = 2 << 30
+
+
 def load(path: str) -> NiftiImage:
     """Read a .nii or .nii.gz file."""
     with _open(path, "rb") as f:
-        raw = f.read()
+        raw = f.read(MAX_DECOMPRESSED_BYTES + 1)
+        if len(raw) > MAX_DECOMPRESSED_BYTES:
+            raise ValueError(
+                f"{path}: decompressed size exceeds "
+                f"{MAX_DECOMPRESSED_BYTES} bytes")
     if len(raw) < _HDR_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header")
 

@@ -33,6 +33,11 @@ from .reports import calculate_medical_metrics, generate_clinical_report
 
 logger = logging.getLogger(__name__)
 
+# upload cap, parity with the reference's MAX_CONTENT_LENGTH
+# (``main.py:94``); requests past it are refused before the body is
+# read so a client cannot make the server allocate arbitrary memory
+MAX_CONTENT_LENGTH = 100 * 1024 * 1024
+
 
 # ---------------------------------------------------------------------------
 # minimal multipart/form-data parser (stdlib only)
@@ -377,6 +382,17 @@ def make_handler(app: BrainTumorApp):
             parsed = urlparse(self.path)
             query = parse_qs(parsed.query)
             length = int(self.headers.get("Content-Length") or 0)
+            if length > MAX_CONTENT_LENGTH:
+                data = json.dumps({
+                    "error": "request body too large",
+                    "max_bytes": MAX_CONTENT_LENGTH}).encode()
+                self.send_response(413)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(data)
+                return
             body = self.rfile.read(length) if length else b""
             headers = {k.lower(): v for k, v in self.headers.items()}
             status, ctype, payload = app.route(

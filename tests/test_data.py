@@ -35,6 +35,20 @@ def test_nifti_roundtrip(tmp_path, rng, ext, dtype):
     np.testing.assert_allclose(np.diag(img.affine)[:3], (1, 2, 3))
 
 
+def test_nifti_decompression_cap(tmp_path, rng, monkeypatch):
+    """A .nii.gz whose decompressed size exceeds the cap is rejected
+    instead of expanding into host memory (gzip bombs expand ~1000x, so
+    the upload-size cap alone does not bound the allocation)."""
+    data = np.zeros((64, 64, 64), np.float32)   # ~1 MB, compresses tiny
+    p = str(tmp_path / "vol.nii.gz")
+    nifti.save(p, data)
+    monkeypatch.setattr(nifti, "MAX_DECOMPRESSED_BYTES", 100_000)
+    with pytest.raises(ValueError, match="decompressed size exceeds"):
+        nifti.load(p)
+    monkeypatch.setattr(nifti, "MAX_DECOMPRESSED_BYTES", 2 << 30)
+    assert nifti.load(p).data.shape == (64, 64, 64)
+
+
 def test_nifti_scl_slope(tmp_path, rng):
     """scl_slope/inter scaling is applied on load."""
     import struct

@@ -332,6 +332,19 @@ def test_http_server_over_socket(app):
         with urllib.request.urlopen(req, timeout=10) as r:
             j = json.loads(r.read())
             assert j["success"]
+        # oversized request is refused with 413 BEFORE the body is read
+        # (parity with the reference's 100 MB MAX_CONTENT_LENGTH,
+        # main.py:94) — send only headers claiming a huge body
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/upload")
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Content-Length", str(200 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert json.loads(resp.read())["error"] == "request body too large"
+        conn.close()
     finally:
         server.shutdown()
 
