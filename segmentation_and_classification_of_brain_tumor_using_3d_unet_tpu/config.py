@@ -151,6 +151,13 @@ class InferenceConfig:
     # to the next multiple of 16 (best per-volume throughput; what the
     # headline bench measures).
     crop_bucket_ladder: Tuple[int, ...] = (96, 128, 160, 192, 224, 256)
+    # trained weights for serving: a trainer checkpoint dir or
+    # params-only export. "" = auto-discover the newest compatible
+    # ``best_*`` checkpoint under ``models_dir`` (so web/CLI training
+    # feeds straight into serving); "none" = always random init
+    # (reference behavior — it builds untrained models at import,
+    # main.py:330-354)
+    checkpoint: str = ""
 
 
 @dataclass(frozen=True)

@@ -175,8 +175,11 @@ class Predictor:
 
     # -------------------- weights --------------------
 
-    def load_seg_params(self, params) -> None:
+    def load_seg_params(self, params, batch_stats=None) -> None:
         self.seg_variables = {**self.seg_variables, "params": params}
+        if batch_stats is not None:
+            self.seg_variables = {**self.seg_variables,
+                                  "batch_stats": batch_stats}
         ic = self.config.inference
         self._sw = make_sw_predictor(
             self.seg_model, self.seg_variables, roi_size=ic.roi_size,

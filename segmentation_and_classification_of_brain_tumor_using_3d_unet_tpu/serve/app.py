@@ -15,6 +15,7 @@ fails (reference's ubiquitous try/except->demo contract).
 
 from __future__ import annotations
 
+import glob
 import json
 import logging
 import os
@@ -125,7 +126,45 @@ class BrainTumorApp:
                 logger.info("initializing models on %s",
                             _device_label())
                 self._predictor = Predictor(self.config)
+                self._load_trained_weights(self._predictor)
             return self._predictor
+
+    weights_source: str = "random_init"
+
+    def _load_trained_weights(self, predictor) -> None:
+        """Adopt trained segmentation weights: an explicit
+        ``InferenceConfig.checkpoint`` path, or the newest structurally
+        compatible ``best_*`` checkpoint under ``models_dir`` — so
+        web/CLI training feeds straight into serving. Incompatible or
+        absent checkpoints leave the reference's untrained-model
+        behavior (``main.py:330-354``) with ``weights_source`` saying
+        so in ``/health``."""
+        from ..train import checkpoints as ckpt
+
+        spec = getattr(self.config.inference, "checkpoint", "")
+        if spec == "none":
+            return
+        candidates = ([spec] if spec else sorted(
+            glob.glob(os.path.join(self.config.models_dir, "best_*")),
+            key=os.path.getmtime, reverse=True))
+        for path in candidates:
+            try:
+                params, bstats = ckpt.load_inference_weights(path)
+            except Exception as e:
+                logger.warning("checkpoint %s unreadable: %s", path, e)
+                continue
+            if not ckpt.compatible_tree(
+                    params, predictor.seg_variables["params"]):
+                logger.info("checkpoint %s: different model config, "
+                            "skipping", path)
+                continue
+            predictor.load_seg_params(params, bstats)
+            self.weights_source = path
+            logger.info("serving with trained weights from %s", path)
+            return
+        if spec:
+            logger.warning("configured checkpoint %s not loaded; "
+                           "serving random init", spec)
 
     # ------------------------- routes -------------------------
 
@@ -148,6 +187,7 @@ class BrainTumorApp:
                         "status": "ok", "device": _device_label(),
                         "models_loaded": self._predictor is not None,
                         "warmup": self.warmup_state,
+                        "weights": self.weights_source,
                         "sessions": training_manager.list_sessions(),
                     })
             if method == "POST":

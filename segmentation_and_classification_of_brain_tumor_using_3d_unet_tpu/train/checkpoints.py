@@ -91,3 +91,47 @@ def restore_params_only(path: str, params_like):
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_ckpt_dir(path),
                          {"params": params_like})["params"]
+
+
+def load_inference_weights(path: str) -> Tuple[Any, Optional[Any]]:
+    """Read (params, batch_stats-or-None) from either a trainer
+    checkpoint directory (``save_checkpoint`` layout, ``<path>/state``)
+    or a params-only export (``save_params_only``).
+
+    Restores every leaf as host ``np.ndarray`` via explicit
+    ``RestoreArgs`` rather than a targetless restore: a targetless
+    restore replays the *saved* shardings, so a checkpoint written on
+    TPU refuses to load in a CPU-only server process
+    ("Device TPU v5 lite0 was not found in jax.local_devices()").
+    The caller validates structure/shape compatibility against its
+    model before adopting the arrays (serving auto-discovery must skip
+    checkpoints of differently-configured models)."""
+    import jax
+    import numpy as np
+
+    path = _ckpt_dir(path)
+    state_dir = os.path.join(path, "state")
+    if os.path.isdir(state_dir):
+        path = state_dir
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    restored = ckptr.restore(path, restore_args=restore_args)
+    return restored["params"], restored.get("batch_stats")
+
+
+def compatible_tree(a, b) -> bool:
+    """True iff two pytrees have identical structure and leaf shapes
+    (dtype may differ — params cast on use)."""
+    import jax
+
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        return False
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return all(getattr(x, "shape", None) == getattr(y, "shape", None)
+               for x, y in zip(la, lb))

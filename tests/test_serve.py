@@ -306,6 +306,67 @@ def test_upload_corrupt_file_degrades(app):
     assert j["degraded_mode"] is True
 
 
+@pytest.mark.slow
+def test_serve_auto_loads_best_checkpoint(tmp_path):
+    """Serving adopts the newest structurally compatible ``best_*``
+    checkpoint under models_dir (web/CLI training feeds straight into
+    serving); incompatible checkpoints are skipped and /health reports
+    the weights source."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        checkpoints, create_train_state)
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, features=(8, 16),
+                                  in_channels=1,
+                                  compute_dtype="float32", remat=False),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)),
+        inference=dataclasses.replace(cfg.inference,
+                                      roi_size=(16, 16, 16)),
+        models_dir=str(tmp_path / "models"))
+
+    # a compatible trained state (same tiny model) saved as best_*
+    model = UNet3D(out_channels=4, features=(8, 16),
+                   dtype=jnp.float32, remat=False)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(7),
+                               (1, 16, 16, 16, 1), steps_per_epoch=2)
+    good = str(tmp_path / "models" / "best_exp")
+    checkpoints.save_checkpoint(good, state, best_dice=0.9, epoch=3)
+
+    # an incompatible checkpoint that is NEWER (different features)
+    other = UNet3D(out_channels=4, features=(16, 32),
+                   dtype=jnp.float32, remat=False)
+    ostate = create_train_state(other, cfg, jax.random.PRNGKey(8),
+                                (1, 16, 16, 16, 1), steps_per_epoch=2)
+    bad = str(tmp_path / "models" / "best_other_config")
+    checkpoints.save_checkpoint(bad, ostate)
+    import os
+    os.utime(bad)   # newest mtime -> tried first, must be skipped
+
+    a = BrainTumorApp(cfg, upload_dir=str(tmp_path / "up"))
+    pred = a._get_predictor()
+    assert a.weights_source == good
+    # adopted params match the saved ones
+    saved = jax.tree_util.tree_leaves(state.params)
+    live = jax.tree_util.tree_leaves(pred.seg_variables["params"])
+    assert all(np.allclose(np.asarray(s), np.asarray(l))
+               for s, l in zip(saved, live))
+    status, _, payload = a.route("GET", "/health", {}, b"", {})
+    assert json.loads(payload)["weights"] == good
+
+    # checkpoint="none" keeps the reference's random-init behavior
+    cfg2 = cfg.replace(inference=dataclasses.replace(
+        cfg.inference, checkpoint="none"))
+    a2 = BrainTumorApp(cfg2, upload_dir=str(tmp_path / "up2"))
+    a2._get_predictor()
+    assert a2.weights_source == "random_init"
+
+
 def test_http_server_over_socket(app):
     """Socket-level smoke: real ThreadingHTTPServer + urllib round trip."""
     import threading
