@@ -173,6 +173,48 @@ class Predictor:
         idx = int(np.argmax(probs))
         return CLASS_NAMES[idx], float(probs[idx])
 
+    # -------------------- grade head (joint checkpoints) --------------------
+
+    joint_variables = None
+
+    def load_joint_grade(self, joint_params, joint_batch_stats,
+                         num_grades: int = 4) -> None:
+        """Enable trained tumor-grade prediction from a joint
+        (``UNet3DWithClassifier``) checkpoint: trunk + grade head run as
+        one jitted forward at model resolution. Requires the
+        checkpoint's batch_stats (trainer checkpoints always carry
+        them)."""
+        from ..models.joint import UNet3DWithClassifier
+        mc = self.config.model
+        dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else (
+            jnp.float32)
+        self._joint_model = UNet3DWithClassifier(
+            out_channels=mc.out_channels, num_grades=num_grades,
+            features=mc.features, dropout_rate=mc.dropout_rate,
+            dtype=dtype, remat=mc.remat)
+        self.joint_variables = {"params": joint_params,
+                                "batch_stats": joint_batch_stats}
+        self._grade = jax.jit(self._grade_logits)
+
+    def _grade_logits(self, variables, volume: Array) -> Array:
+        size = self.config.data.image_size
+        x = resize_trilinear(volume[None], size)
+        return self._joint_model.apply(variables, x,
+                                       train=False)["grade_logits"]
+
+    def classify_grade(self, volume: np.ndarray
+                       ) -> Optional[Tuple[int, float]]:
+        """(grade 0..3, softmax confidence) from the trained joint grade
+        head, or None when no joint checkpoint was adopted. Grade
+        indexes the clinical diagnosis ladder (``serve/reports.py``)."""
+        if self.joint_variables is None:
+            return None
+        vol = jnp.asarray(self._canon(volume))
+        logits = self._grade(self.joint_variables, vol)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+        idx = int(np.argmax(probs))
+        return idx, float(probs[idx])
+
     # -------------------- weights --------------------
 
     def load_seg_params(self, params, batch_stats=None) -> None:

@@ -147,18 +147,38 @@ class BrainTumorApp:
         candidates = ([spec] if spec else sorted(
             glob.glob(os.path.join(self.config.models_dir, "best_*")),
             key=os.path.getmtime, reverse=True))
+        live = predictor.seg_variables["params"]
         for path in candidates:
             try:
                 params, bstats = ckpt.load_inference_weights(path)
             except Exception as e:
                 logger.warning("checkpoint %s unreadable: %s", path, e)
                 continue
-            if not ckpt.compatible_tree(
-                    params, predictor.seg_variables["params"]):
+            # a joint (UNet3DWithClassifier) checkpoint nests the seg
+            # trunk under "unet" — adopt that subtree
+            trees = [(params, bstats)]
+            if isinstance(params, dict) and "unet" in params:
+                trees.append((params["unet"],
+                              bstats.get("unet")
+                              if isinstance(bstats, dict) else None))
+            adopted = False
+            for p, b in trees:
+                if ckpt.compatible_tree(p, live):
+                    predictor.load_seg_params(p, b)
+                    adopted = True
+                    if p is not params and b is not None:
+                        # joint checkpoint: also enable the trained
+                        # grade head (upload reports grade_source=model)
+                        try:
+                            predictor.load_joint_grade(params, bstats)
+                        except Exception as e:
+                            logger.warning("grade head not enabled: %s",
+                                           e)
+                    break
+            if not adopted:
                 logger.info("checkpoint %s: different model config, "
                             "skipping", path)
                 continue
-            predictor.load_seg_params(params, bstats)
             self.weights_source = path
             logger.info("serving with trained weights from %s", path)
             return
@@ -295,6 +315,7 @@ class BrainTumorApp:
                     vol, mode=mode)
                 mark("segment")
                 cls_name, cls_conf = predictor.classify_tumor(vol, seg)
+                grade_pred = predictor.classify_grade(vol)
                 mark("classify")
                 quality_conf = conf
                 degraded = False
@@ -306,6 +327,7 @@ class BrainTumorApp:
             vol, seg = synthesize_volume(size, seed=0)
             quality_conf = None
             cls_name = None
+            grade_pred = None
             degraded = True
 
         metrics = calculate_medical_metrics(
@@ -313,7 +335,9 @@ class BrainTumorApp:
             confidence_map=None if degraded else quality_conf)
         report = generate_clinical_report(
             metrics, filename=filepath or "demo",
-            classifier_confidence=cls_conf)
+            classifier_confidence=cls_conf,
+            model_grade=grade_pred[0] if grade_pred else None,
+            grade_confidence=grade_pred[1] if grade_pred else None)
         mark("metrics+report")
 
         viz = ModernMedicalVisualizer()

@@ -111,6 +111,7 @@ class TrainingJobManager:
 
     def _run_real(self, sid: str, config: Dict) -> None:
         import dataclasses
+        import os
         import tempfile
 
         import jax
@@ -120,7 +121,9 @@ class TrainingJobManager:
         from ..data.pipeline import create_brats_data_loaders
         from ..data.synthetic import create_enhanced_synthetic_data
         from ..models import UNet3D
-        from ..train.loop import make_eval_step, make_train_step
+        from ..train import checkpoints as ckpt_mod
+        from ..train.loop import (make_eval_step, make_joint_train_step,
+                                  make_train_step)
         from ..train.state import create_train_state, current_lr
 
         stop = self._stop_flags[sid]
@@ -130,10 +133,11 @@ class TrainingJobManager:
         num_samples = int(config.get("num_samples", 8))
         arch = config.get("model_arch", "attention_unet")
         data_dir = config.get("data_dir")
+        save_ckpt = bool(config.get("save_checkpoint", True))
 
         # web sessions train a compact variant for responsiveness unless
         # a full config is requested
-        feats = ((32, 64, 128, 256, 512) if arch == "attention_unet_full"
+        feats = ((32, 64, 128, 256, 512) if arch.endswith("_full")
                  else (16, 32, 64, 128))
         img = tuple(config.get("image_size", (64, 64, 64)))
 
@@ -155,14 +159,23 @@ class TrainingJobManager:
         if len(train_loader.dataset) == 0:
             raise RuntimeError(f"no training data in {data_dir}")
 
-        self._log(sid, f"compiling train step (features={feats}, "
-                       f"image={img})")
-        model = UNet3D(out_channels=4, features=feats, dtype=jnp.bfloat16)
+        self._log(sid, f"compiling train step (arch={arch}, "
+                       f"features={feats}, image={img})")
+        if arch.startswith("joint"):
+            # seg trunk + grade head trained jointly (BASELINE config 4);
+            # serving adopts the nested "unet" subtree of its checkpoint
+            from ..models.joint import UNet3DWithClassifier
+            model = UNet3DWithClassifier(out_channels=4, features=feats,
+                                         dtype=jnp.bfloat16)
+            tstep = make_joint_train_step(cfg, donate=False)
+        else:
+            model = UNet3D(out_channels=4, features=feats,
+                           dtype=jnp.bfloat16)
+            tstep = make_train_step(cfg, donate=False)
         state = create_train_state(
             model, cfg, jax.random.PRNGKey(0), (1, *img, 4),
             steps_per_epoch=max(len(train_loader), 1),
             learning_rate=lr)
-        tstep = make_train_step(cfg, donate=False)
         estep = make_eval_step(cfg)
         rng = jax.random.PRNGKey(1)
         self._update(sid, status="running", total_epochs=epochs)
@@ -185,6 +198,18 @@ class TrainingJobManager:
             train_loss = float(jnp.mean(jnp.stack(tl))) if tl else 0.0
             val_loss = float(jnp.mean(jnp.stack(vl))) if vl else 0.0
             dice = float(jnp.mean(jnp.stack(vd))) if vd else 0.0
+            if save_ckpt and (dice > best or epoch == 0):
+                # persist save-on-best under models_dir so serving's
+                # checkpoint auto-discovery (app._load_trained_weights)
+                # picks web-trained weights up, like CLI training
+                path = os.path.join(cfg.models_dir, f"best_web_{sid}")
+                try:
+                    ckpt_mod.save_checkpoint(path, state, best_dice=dice,
+                                             epoch=epoch + 1)
+                    self._update(sid, checkpoint=path)
+                    self._log(sid, f"saved checkpoint {path}")
+                except Exception as e:   # disk-full etc: keep training
+                    logger.warning("checkpoint save failed: %s", e)
             best = max(best, dice)
             lr_now = current_lr(state, cfg.optimizer,
                                 max(len(train_loader), 1), lr)

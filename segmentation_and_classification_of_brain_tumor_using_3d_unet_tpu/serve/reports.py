@@ -104,10 +104,25 @@ def _surface_area(mask: np.ndarray) -> float:
     return isosurface_area(mask)
 
 
+# diagnosis ladder, index = grade 0..3 (benign .. high-grade); the
+# names are the reference's string table (``main.py:915-937``)
+_GRADE_LADDER = (
+    ("Benign Mass Lesion", "Low", 0.85, "Benign Lesion"),
+    ("Diffuse Astrocytoma (Grade II)", "Moderate", 0.86,
+     "Low-Grade Glioma"),
+    ("Anaplastic Astrocytoma (Grade III)", "Moderate", 0.88,
+     "Primary Brain Tumor"),
+    ("Glioblastoma Multiforme (Grade IV)", "High", 0.93,
+     "Primary Malignant Brain Tumor"),
+)
+
+
 def generate_clinical_report(metrics: Dict,
                              visualizations: Optional[Dict] = None,
                              filename: str = "unknown",
-                             classifier_confidence: Optional[float] = None
+                             classifier_confidence: Optional[float] = None,
+                             model_grade: Optional[int] = None,
+                             grade_confidence: Optional[float] = None
                              ) -> Dict:
     """Volume-ladder diagnosis + findings/recommendations, deterministic.
 
@@ -117,27 +132,27 @@ def generate_clinical_report(metrics: Dict,
     exposes this prose verbatim and downstream consumers may match on
     it. The surrounding logic is new (deterministic confidence from the
     classifier softmax instead of random draws, NaN-safe formatting,
-    honest ``estimated`` flags)."""
+    honest ``estimated`` flags).
+
+    ``model_grade`` (0..3, from a trained joint grade head) overrides
+    the volume-threshold ladder — the report then carries
+    ``grade_source: "model"`` instead of ``"volume"``."""
     tumor_volume = float(metrics.get("tumor_volume_mm3", 0.0))
 
-    if tumor_volume > 15_000:
-        diagnosis = "Glioblastoma Multiforme (Grade IV)"
-        risk_level, base_conf = "High", 0.93
-        tumor_type = "Primary Malignant Brain Tumor"
-    elif tumor_volume > 8_000:
-        diagnosis = "Anaplastic Astrocytoma (Grade III)"
-        risk_level, base_conf = "Moderate", 0.88
-        tumor_type = "Primary Brain Tumor"
-    elif tumor_volume > 3_000:
-        diagnosis = "Diffuse Astrocytoma (Grade II)"
-        risk_level, base_conf = "Moderate", 0.86
-        tumor_type = "Low-Grade Glioma"
+    vol_grade = (3 if tumor_volume > 15_000 else
+                 2 if tumor_volume > 8_000 else
+                 1 if tumor_volume > 3_000 else 0)
+    if model_grade is not None:
+        grade = int(np.clip(model_grade, 0, len(_GRADE_LADDER) - 1))
+        grade_source = "model"
     else:
-        diagnosis = "Benign Mass Lesion"
-        risk_level, base_conf = "Low", 0.85
-        tumor_type = "Benign Lesion"
-    confidence = (classifier_confidence if classifier_confidence
-                  is not None else base_conf)
+        grade, grade_source = vol_grade, "volume"
+    diagnosis, risk_level, base_conf, tumor_type = _GRADE_LADDER[grade]
+    confidence = (
+        grade_confidence if (grade_source == "model"
+                             and grade_confidence is not None) else
+        classifier_confidence if classifier_confidence is not None else
+        base_conf)
 
     eq_diam = (6.0 * tumor_volume / np.pi) ** (1.0 / 3.0) if (
         tumor_volume > 0) else 0.0
@@ -218,6 +233,8 @@ def generate_clinical_report(metrics: Dict,
             "confidence": float(confidence),
             "risk_level": risk_level,
             "tumor_type": tumor_type,
+            "grade": grade,
+            "grade_source": grade_source,
         },
         "measurements": {
             "tumor_volume": f"{tumor_volume:.1f} mm³",

@@ -213,6 +213,8 @@ def test_start_training_route_real_mode(app):
     status, _, payload = _post_json(app, "/start_training", {
         "mode": "real", "epochs": 1, "batch_size": 1, "num_samples": 2,
         "image_size": [16, 16, 16], "model_arch": "tiny",
+        "save_checkpoint": False,   # persistence covered by
+        # test_web_training_saves_checkpoint_serving_adopts
     })
     j = json.loads(payload)
     assert j["success"] and j["session_id"]
@@ -290,6 +292,21 @@ def test_clinical_report_ladder():
     assert r1 == r2
 
 
+def test_clinical_report_model_grade_overrides_volume_ladder():
+    """A trained joint grade head's prediction overrides the
+    volume-threshold diagnosis; the report declares its source."""
+    base = {"tumor_volume_mm3": 100}   # volume ladder would say Benign
+    r = generate_clinical_report(base, model_grade=3,
+                                 grade_confidence=0.91)
+    c = r["classification"]
+    assert "Glioblastoma" in c["primary_diagnosis"]
+    assert c["grade"] == 3 and c["grade_source"] == "model"
+    assert c["confidence"] == pytest.approx(0.91)
+    r2 = generate_clinical_report(base)
+    assert r2["classification"]["grade_source"] == "volume"
+    assert "Benign" in r2["classification"]["primary_diagnosis"]
+
+
 def test_upload_corrupt_file_degrades(app):
     """A garbage payload falls back to the explicit demo analysis
     (reference degradation contract, main.py:897-905)."""
@@ -365,6 +382,56 @@ def test_serve_auto_loads_best_checkpoint(tmp_path):
     a2 = BrainTumorApp(cfg2, upload_dir=str(tmp_path / "up2"))
     a2._get_predictor()
     assert a2.weights_source == "random_init"
+
+
+@pytest.mark.slow
+def test_web_training_saves_checkpoint_serving_adopts(tmp_path,
+                                                      monkeypatch):
+    """The full web-train -> serve handoff: a real-mode web session with
+    the joint (seg+grade) arch persists a best checkpoint under
+    models_dir, and a serving app whose model matches the trunk adopts
+    the checkpoint's nested "unet" subtree."""
+    import dataclasses
+    import os
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
+
+    monkeypatch.chdir(tmp_path)   # jobs write to ./results/models
+    mgr = TrainingJobManager()
+    sid = mgr.start_training_session({
+        "mode": "real", "epochs": 1, "batch_size": 1, "num_samples": 2,
+        "image_size": [16, 16, 16], "model_arch": "joint",
+    })
+    deadline = time.time() + 420
+    prog = None
+    while time.time() < deadline:
+        prog = mgr.get_training_progress(sid)
+        if prog["status"] in ("completed", "error"):
+            break
+        time.sleep(1.0)
+    assert prog["status"] == "completed", prog
+    path = prog.get("checkpoint")
+    assert path and os.path.isdir(path), prog
+
+    # serving with a matching trunk config adopts the "unet" subtree
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model,
+                                  features=(16, 32, 64, 128),
+                                  remat=False),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)),
+        inference=dataclasses.replace(cfg.inference,
+                                      roi_size=(16, 16, 16),
+                                      checkpoint=path))
+    a = BrainTumorApp(cfg, upload_dir=str(tmp_path / "up"))
+    pred = a._get_predictor()
+    assert a.weights_source == path
+
+    # joint checkpoint also enables the trained grade head: uploads
+    # report a model-predicted grade instead of the volume ladder
+    g = pred.classify_grade(np.zeros((16, 16, 16), np.float32))
+    assert g is not None
+    grade, conf = g
+    assert 0 <= grade <= 3 and 0.0 < conf <= 1.0
 
 
 def test_http_server_over_socket(app):
