@@ -1,0 +1,125 @@
+"""Exactness of the space-to-depth conv formulation (ops/s2d.py).
+
+Every op must be bit-compatible (up to float associativity) with its
+normal-layout counterpart under the layout isomorphism
+x_s2d = space_to_depth_hw(x)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops import s2d
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.conv import (
+    conv1x1, conv3d_zcat, conv_transpose3d_k2s2)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.norm import group_norm
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pool import (
+    global_avg_pool, max_pool3d)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+def test_s2d_roundtrip():
+    x = _rand(KEY, (2, 5, 8, 10, 3))
+    np.testing.assert_array_equal(
+        np.asarray(s2d.depth_to_space_hw(s2d.space_to_depth_hw(x))),
+        np.asarray(x))
+
+
+def test_s2d_phase_order():
+    """p-major channel order: ch = (ph*2+pw)*C + c."""
+    x = _rand(KEY, (1, 2, 4, 4, 3))
+    y = s2d.space_to_depth_hw(x)
+    for ph in range(2):
+        for pw in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(y[..., (ph * 2 + pw) * 3:(ph * 2 + pw + 1) * 3]),
+                np.asarray(x[:, :, ph::2, pw::2, :]))
+
+
+@pytest.mark.parametrize("ci,co", [(4, 32), (32, 32), (64, 32), (32, 16)])
+def test_conv3d_s2d_matches_zcat(ci, co):
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    x = _rand(k1, (1, 6, 8, 10, ci))
+    w = _rand(k2, (3, 3, 3, ci, co)) * 0.1
+    b = _rand(k3, (co,))
+    ref = s2d.space_to_depth_hw(conv3d_zcat(x, w, b))
+    out = s2d.conv3d_s2d(s2d.space_to_depth_hw(x), w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3d_s2d_grad_matches():
+    """The packed kernel is a linear gather of w, so gradients flow;
+    check dL/dw parity with the zcat formulation."""
+    k1, k2 = jax.random.split(KEY)
+    x = _rand(k1, (1, 4, 6, 6, 8))
+    w = _rand(k2, (3, 3, 3, 8, 16)) * 0.1
+
+    g_ref = jax.grad(lambda w: jnp.sum(conv3d_zcat(x, w) ** 2))(w)
+    g_s2d = jax.grad(lambda w: jnp.sum(
+        s2d.conv3d_s2d(s2d.space_to_depth_hw(x), w) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g_s2d), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv1x1_s2d_matches():
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    x = _rand(k1, (2, 4, 6, 8, 12))
+    w = _rand(k2, (1, 1, 1, 12, 7))
+    b = _rand(k3, (7,))
+    ref = s2d.space_to_depth_hw(conv1x1(x, w, b))
+    out = s2d.conv1x1_s2d(s2d.space_to_depth_hw(x), w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("groups", [1, 4, 8])
+def test_group_norm_s2d_matches(groups):
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    x = _rand(k1, (2, 4, 6, 8, 16))
+    gamma = _rand(k2, (16,))
+    beta = _rand(k3, (16,))
+    ref = s2d.space_to_depth_hw(group_norm(x, gamma, beta, groups))
+    out = s2d.group_norm_s2d(s2d.space_to_depth_hw(x), gamma, beta, groups)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_from_s2d_matches():
+    x = _rand(KEY, (2, 6, 8, 10, 5))
+    ref = max_pool3d(x, 2)
+    out = s2d.max_pool3d_from_s2d(s2d.space_to_depth_hw(x))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_global_avg_pool_s2d_matches():
+    x = _rand(KEY, (2, 4, 6, 8, 5))
+    np.testing.assert_allclose(
+        np.asarray(s2d.global_avg_pool_s2d(s2d.space_to_depth_hw(x))),
+        np.asarray(global_avg_pool(x)), rtol=1e-6, atol=1e-6)
+
+
+def test_concat_s2d_matches():
+    k1, k2 = jax.random.split(KEY)
+    a = _rand(k1, (1, 3, 4, 6, 5))
+    b = _rand(k2, (1, 3, 4, 6, 7))
+    ref = s2d.space_to_depth_hw(jnp.concatenate([a, b], axis=-1))
+    out = s2d.concat_s2d(s2d.space_to_depth_hw(a),
+                         s2d.space_to_depth_hw(b))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_conv_transpose_s2d_out_matches():
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    x = _rand(k1, (1, 3, 4, 5, 6))
+    w = _rand(k2, (2, 2, 2, 6, 4)) * 0.2
+    b = _rand(k3, (4,))
+    ref = s2d.space_to_depth_hw(conv_transpose3d_k2s2(x, w, b))
+    out = s2d.conv_transpose3d_k2s2_s2d_out(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
