@@ -33,21 +33,31 @@ from ..ops.conv import Conv1x1, FastConv3D, FastConvTranspose3D
 from ..ops.norm import group_norm
 from ..ops.pool import max_pool3d, global_avg_pool
 from ..ops.resize import resize_trilinear
+from ..ops.s2d import (concat_s2d, depth_to_space_hw, global_avg_pool_s2d,
+                       group_norm_s2d, max_pool3d_from_s2d,
+                       space_to_depth_hw)
 
 KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm wrapper over the functional op (Pallas-swappable)."""
+    """GroupNorm wrapper over the functional op (Pallas-swappable).
+
+    ``s2d``: input is in space-to-depth HW layout (ops/s2d.py);
+    statistics and parameters are identical to the normal layout."""
 
     num_groups: int
     eps: float = 1e-5
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.s2d:
+            return group_norm_s2d(x, gamma, beta, self.num_groups,
+                                  self.eps)
         return group_norm(x, gamma, beta, self.num_groups, self.eps)
 
 
@@ -65,10 +75,15 @@ class DoubleConv3D(nn.Module):
     param_dtype: Any = jnp.float32
     fast: bool = True
     quant_mode: str = "off"
+    # whole block computed in space-to-depth HW layout (ops/s2d.py);
+    # requires fast=True, parameters identical to the normal path
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        if self.s2d and not self.fast:
+            raise ValueError("s2d DoubleConv requires fast=True")
+        in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         mid = self.mid_channels or self.out_channels
 
         def conv(f, k, name):
@@ -76,20 +91,22 @@ class DoubleConv3D(nn.Module):
                 return FastConv3D(f, (3, 3, 3), use_bias=False,
                                   kernel_init=KAIMING, dtype=self.dtype,
                                   param_dtype=self.param_dtype,
-                                  quant_mode=self.quant_mode, name=name)
+                                  quant_mode=self.quant_mode,
+                                  s2d=self.s2d, name=name)
             if self.fast and k == 1:
                 return Conv1x1(f, use_bias=False, kernel_init=KAIMING,
-                               dtype=self.dtype,
+                               dtype=self.dtype, s2d=self.s2d,
                                param_dtype=self.param_dtype, name=name)
             return nn.Conv(f, (k, k, k), padding="SAME", use_bias=False,
                            kernel_init=KAIMING, dtype=self.dtype,
                            param_dtype=self.param_dtype, name=name)
 
+        gn = lambda name: GroupNorm(8, s2d=self.s2d, name=name)
         out = conv(mid, 3, "conv1")(x)
-        out = GroupNorm(8, name="gn1")(out)
+        out = gn("gn1")(out)
         out = nn.relu(out)
         out = conv(self.out_channels, 3, "conv2")(out)
-        out = GroupNorm(8, name="gn2")(out)
+        out = gn("gn2")(out)
         out = nn.relu(out)
 
         if in_ch == self.out_channels:
@@ -97,7 +114,7 @@ class DoubleConv3D(nn.Module):
                 out = out + x
         else:
             res = conv(self.out_channels, 1, "proj")(x)
-            res = GroupNorm(8, name="gn_proj")(res)
+            res = gn("gn_proj")(res)
             out = out + res
         return out
 
@@ -113,33 +130,60 @@ class AttentionGate3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     fast: bool = True
+    # g and x arrive in space-to-depth HW layout (ops/s2d.py); the
+    # gate's 1x1 convs become phase-blocked matmuls, GroupNorm uses the
+    # s2d statistics, SE pools over (spatial, phase). Parameters
+    # identical to the normal path.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, g, x):
+        if self.s2d and not self.fast:
+            raise ValueError("s2d AttentionGate requires fast=True")
         if self.fast:
             conv1 = lambda f, name: Conv1x1(
                 f, use_bias=True, kernel_init=KAIMING, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=name)
+                s2d=self.s2d, param_dtype=self.param_dtype, name=name)
         else:
             conv1 = lambda f, name: nn.Conv(
                 f, (1, 1, 1), use_bias=True, kernel_init=KAIMING,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        f_l = x.shape[-1]
+        f_l = x.shape[-1] // 4 if self.s2d else x.shape[-1]
+        gn = lambda groups, name: GroupNorm(groups, s2d=self.s2d,
+                                            name=name)
 
-        g1 = GroupNorm(4, name="gn_g")(conv1(self.f_int, "w_g")(g))
-        x1 = GroupNorm(4, name="gn_x")(conv1(self.f_int, "w_x")(x))
+        g1 = gn(4, "gn_g")(conv1(self.f_int, "w_g")(g))
+        x1 = gn(4, "gn_x")(conv1(self.f_int, "w_x")(x))
         if g1.shape[1:-1] != x1.shape[1:-1]:
+            if self.s2d:
+                raise ValueError("s2d attention gate requires matching "
+                                 "g/x spatial shapes (pad input dims to "
+                                 "a multiple of 2**levels)")
             g1 = resize_trilinear(g1, x1.shape[1:-1])
 
         psi = nn.relu(g1 + x1)
-        psi = GroupNorm(1, name="gn_psi")(conv1(1, "psi")(psi))
+        psi = gn(1, "gn_psi")(conv1(1, "psi")(psi))
         psi = nn.sigmoid(psi)
-        x_spatial = x * psi
+        if self.s2d:
+            # psi has one channel per phase: broadcast within phases
+            B, D, H2, W2, _ = x.shape
+            x_spatial = (x.reshape(B, D, H2, W2, 4, f_l)
+                         * psi[..., None]).reshape(x.shape)
+        else:
+            x_spatial = x * psi
 
         # Squeeze-excite channel attention on the raw skip features.
-        se = global_avg_pool(x)
-        se = nn.relu(conv1(max(f_l // 8, 1), "se_down")(se))
-        se = nn.sigmoid(conv1(f_l, "se_up")(se))
+        # The pooled vector is normal-layout (C,) in both modes, so the
+        # SE convs are plain Conv1x1 with shared parameters.
+        se = global_avg_pool_s2d(x) if self.s2d else global_avg_pool(x)
+        se_conv = lambda f, name: Conv1x1(
+            f, use_bias=True, kernel_init=KAIMING, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name) if self.fast else (
+            conv1(f, name))
+        se = nn.relu(se_conv(max(f_l // 8, 1), "se_down")(se))
+        se = nn.sigmoid(se_conv(f_l, "se_up")(se))
+        if self.s2d:
+            se = jnp.tile(se, (1, 1, 1, 1, 4))
         return x_spatial * se
 
 
@@ -179,6 +223,14 @@ class UNet3D(nn.Module):
     # an extra full-size materialization (benchmarks/profile_int8.py).
     quant_mode: str = "off"
     quant_blocks: Any = None
+    # Eval-only space-to-depth level 0 (ops/s2d.py): enc0 / att-last /
+    # dec-last / head_conv run in s2d-HW layout so their conv2ds emit
+    # 4*Cout MXU lanes instead of Cout. Exact (test_s2d.py, model
+    # parity test); parameters identical, so checkpoints and the train
+    # path are unchanged. Requires H, W multiples of 2**levels (the
+    # sliding-window ROI padding guarantees this). Ignored when
+    # train=True or quant_mode="int8".
+    s2d_eval: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -186,19 +238,19 @@ class UNet3D(nn.Module):
         dc = DoubleConv3D
         if self.remat:
             dc = nn.remat(DoubleConv3D)
-        def block(f, name):
+        def block(f, name, s2d=False):
             qm = self.quant_mode
             if self.quant_blocks is not None and not any(
                     name.startswith(p) for p in self.quant_blocks):
                 qm = "off"
             return dc(f, dtype=self.dtype, param_dtype=self.param_dtype,
-                      fast=self.fast, quant_mode=qm, name=name)
+                      fast=self.fast, quant_mode=qm, s2d=s2d, name=name)
         if self.fast:
-            conv_out = lambda name: Conv1x1(
+            conv_out = lambda name, s2d=False: Conv1x1(
                 self.out_channels, kernel_init=KAIMING, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=name)
+                s2d=s2d, param_dtype=self.param_dtype, name=name)
         else:
-            conv_out = lambda name: nn.Conv(
+            conv_out = lambda name, s2d=False: nn.Conv(
                 self.out_channels, (1, 1, 1), kernel_init=KAIMING,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=name)
 
@@ -210,20 +262,32 @@ class UNet3D(nn.Module):
                 f"input spatial dims {full_res} too small for "
                 f"{len(feats)} encoder levels (need >= {min_size}); "
                 f"use fewer features or a larger volume")
+        # evenness is the only shape requirement: the initial s2d needs
+        # even H, W, and the level-0 decoder up must exactly double the
+        # level-1 dims back (interior levels reconcile odd sizes via
+        # resize_trilinear as before)
+        use_s2d = (self.s2d_eval and not train and self.fast
+                   and self.quant_mode != "int8"
+                   and all(s % 2 == 0 for s in full_res))
         skips: List[jax.Array] = []
         deep: List[jax.Array] = []
 
         # ---- encoder ----
         for i, f in enumerate(feats):
-            x = block(f, f"down{i}")(x)
+            lvl_s2d = use_s2d and i == 0
+            if lvl_s2d:
+                x = space_to_depth_hw(x)
+            x = block(f, f"down{i}", s2d=lvl_s2d)(x)
             skips.append(x)
             if i < len(feats) - 1:
-                d = conv_out(f"deep{i}")(x)
-                if self.deep_sup_full_res:
+                # dead at eval (returned only when train) but traced so
+                # init creates the same parameter tree in both modes
+                d = conv_out(f"deep{i}", s2d=lvl_s2d)(x)
+                if self.deep_sup_full_res and not lvl_s2d:
                     d = resize_trilinear(d, full_res)
                 # kept in compute dtype; losses cast to f32 internally
                 deep.append(d)
-            x = max_pool3d(x, 2)
+            x = max_pool3d_from_s2d(x) if lvl_s2d else max_pool3d(x, 2)
             x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2, 3),
                            deterministic=not train)(x)
 
@@ -233,11 +297,13 @@ class UNet3D(nn.Module):
 
         # ---- decoder ----
         for i, f in enumerate(reversed(feats)):
+            lvl_s2d = use_s2d and i == len(feats) - 1
             skip = skips[-(i + 1)]
             if self.fast:
                 x = FastConvTranspose3D(
                     f, kernel_init=KAIMING, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"up{i}")(x)
+                    param_dtype=self.param_dtype, s2d_out=lvl_s2d,
+                    name=f"up{i}")(x)
             else:
                 x = nn.ConvTranspose(
                     f, (2, 2, 2), strides=(2, 2, 2), kernel_init=KAIMING,
@@ -246,17 +312,25 @@ class UNet3D(nn.Module):
             x_att = AttentionGate3D(
                 f_int=max(f // 2, 1), dtype=self.dtype,
                 param_dtype=self.param_dtype, fast=self.fast,
-                name=f"att{i}")(g=x, x=skip)
+                s2d=lvl_s2d, name=f"att{i}")(g=x, x=skip)
             if x.shape[1:-1] != skip.shape[1:-1]:
+                if lvl_s2d:
+                    raise ValueError("s2d level 0: decoder/skip shape "
+                                     "mismatch; pad input dims to a "
+                                     "multiple of 2**levels")
                 x = resize_trilinear(x, skip.shape[1:-1])
-            x = block(f, f"dec{i}")(jnp.concatenate([x_att, x], axis=-1))
+            cat = (concat_s2d(x_att, x) if lvl_s2d
+                   else jnp.concatenate([x_att, x], axis=-1))
+            x = block(f, f"dec{i}", s2d=lvl_s2d)(cat)
 
         # ---- head: Conv3-BN-ReLU-Conv1 (reference main.py:129-134) ----
         if self.fast:
             h = FastConv3D(feats[0] // 2, (3, 3, 3), use_bias=True,
                            kernel_init=KAIMING, dtype=self.dtype,
-                           param_dtype=self.param_dtype,
+                           param_dtype=self.param_dtype, s2d=use_s2d,
                            name="head_conv")(x)
+            if use_s2d:
+                h = depth_to_space_hw(h)
         else:
             h = nn.Conv(feats[0] // 2, (3, 3, 3), padding="SAME",
                         kernel_init=KAIMING, dtype=self.dtype,

@@ -331,23 +331,31 @@ def conv1x1(x: jax.Array, w: jax.Array,
 
 class Conv1x1(nn.Module):
     """flax module for pointwise 3D conv via matmul; parameter layout
-    identical to ``nn.Conv(features, (1,1,1))``."""
+    identical to ``nn.Conv(features, (1,1,1))``.
+
+    ``s2d``: input/output are in space-to-depth HW layout (ops/s2d.py);
+    parameters stay in normal layout, so checkpoints are identical."""
 
     features: int
     use_bias: bool = True
     kernel_init: Any = KAIMING
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (1, 1, 1, cin, self.features),
                             self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), self.param_dtype)
                 if self.use_bias else None)
+        if self.s2d:
+            from .s2d import conv1x1_s2d
+            return conv1x1_s2d(x.astype(self.dtype),
+                               kernel.astype(self.dtype), bias)
         return conv1x1(x.astype(self.dtype), kernel.astype(self.dtype),
                        bias)
 
@@ -372,11 +380,27 @@ class FastConv3D(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quant_mode: str = "off"
+    # space-to-depth HW layout in and out (ops/s2d.py); 3x3x3 only,
+    # parameters identical to the normal path
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
         k = tuple(self.kernel_size)
+        if self.s2d:
+            if k != (3, 3, 3) or self.quant_mode not in ("off", "calib"):
+                raise ValueError("s2d supports 3x3x3 bf16 convs only")
+            from .s2d import conv3d_s2d
+            cin = x.shape[-1] // 4
+            kernel = self.param("kernel", self.kernel_init,
+                                (*k, cin, self.features),
+                                self.param_dtype)
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.param_dtype)
+                    if self.use_bias else None)
+            return conv3d_s2d(x.astype(self.dtype),
+                              kernel.astype(self.dtype), bias)
+        cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (*k, cin, self.features), self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros,
@@ -409,13 +433,18 @@ class FastConv3D(nn.Module):
 
 class FastConvTranspose3D(nn.Module):
     """flax module wrapping ``conv_transpose3d_k2s2``; parameter layout
-    identical to ``nn.ConvTranspose(features, (2,2,2), strides=(2,2,2))``."""
+    identical to ``nn.ConvTranspose(features, (2,2,2), strides=(2,2,2))``.
+
+    ``s2d_out``: emit the 2x-resolution output directly in s2d-HW
+    layout (the matmul's HW phases are the s2d channels, skipping the
+    H,W depth-to-space — ops/s2d.py). Input stays normal layout."""
 
     features: int
     use_bias: bool = True
     kernel_init: Any = nn.initializers.lecun_normal()
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -426,6 +455,10 @@ class FastConvTranspose3D(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), self.param_dtype)
                 if self.use_bias else None)
+        if self.s2d_out:
+            from .s2d import conv_transpose3d_k2s2_s2d_out
+            return conv_transpose3d_k2s2_s2d_out(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias)
         return conv_transpose3d_k2s2(
             x.astype(self.dtype), kernel.astype(self.dtype), bias)
 

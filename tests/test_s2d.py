@@ -114,6 +114,39 @@ def test_concat_s2d_matches():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_unet_s2d_eval_matches_normal():
+    """UNet3D(s2d_eval=True) is numerically the normal forward with the
+    SAME parameters (f32 so only float associativity differs)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+
+    kw = dict(out_channels=3, features=(8, 16, 32), dtype=jnp.float32)
+    m0 = UNet3D(**kw)
+    m1 = UNet3D(**kw, s2d_eval=True)
+    x = _rand(KEY, (1, 8, 16, 24, 4))
+    v0 = m0.init(jax.random.PRNGKey(1), x, train=False)
+    v1 = m1.init(jax.random.PRNGKey(1), x, train=False)
+    # identical parameter trees (same names, shapes, values)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), v0, v1)
+    y0 = m0.apply(v0, x, train=False)["logits"]
+    y1 = m1.apply(v0, x, train=False)["logits"]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_unet_s2d_eval_odd_dims_fall_back():
+    """Odd spatial dims silently use the normal path (s2d needs even
+    H, W and an exactly-doubling level-0 decoder)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+
+    m = UNet3D(out_channels=3, features=(8, 16, 32), dtype=jnp.float32,
+               s2d_eval=True)
+    x = _rand(KEY, (1, 9, 17, 24, 4))
+    v = m.init(jax.random.PRNGKey(1), x, train=False)
+    out = m.apply(v, x, train=False)["logits"]
+    assert out.shape == (1, 9, 17, 24, 3)
+
+
 def test_conv_transpose_s2d_out_matches():
     k1, k2, k3 = jax.random.split(KEY, 3)
     x = _rand(k1, (1, 3, 4, 5, 6))
