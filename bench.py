@@ -110,6 +110,11 @@ def main():
                          "per-channel weight / static activation "
                          "quant, inference/quantize.py); calibrates "
                          "on the first fixture volume")
+    ap.add_argument("--s2d", dest="s2d", action="store_true",
+                    default=None,
+                    help="space-to-depth level 0 (ops/s2d.py): full-"
+                         "lane conv2d for the N<=32 extremity blocks")
+    ap.add_argument("--no_s2d", dest="s2d", action="store_false")
     ap.add_argument("--per_call", action="store_true",
                     help="old per-volume host-sync timing (pays ~26 ms "
                          "tunnel RTT per volume)")
@@ -123,7 +128,11 @@ def main():
     cropping = import_module(pkg + ".inference.cropping")
     UNet3D = import_module(pkg + ".models").UNet3D
 
-    model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False)
+    # s2d defaults ON for the headline unless measured otherwise; the
+    # flag pair allows A/B (--no_s2d reproduces the zcat-only path)
+    use_s2d = True if args.s2d is None else args.s2d
+    model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False,
+                   s2d_eval=use_s2d)
     x_init = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x_init, train=False)

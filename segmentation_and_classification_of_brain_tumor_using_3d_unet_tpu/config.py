@@ -48,6 +48,9 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = True                # jax.checkpoint on DoubleConv blocks
     use_pallas: bool = True           # fused Pallas group-norm kernels
+    # eval-only space-to-depth level 0 (ops/s2d.py): full-lane conv2d
+    # for the N<=32 extremity blocks; exact and checkpoint-compatible
+    s2d_eval: bool = False
 
 
 @dataclass(frozen=True)
