@@ -231,6 +231,10 @@ class UNet3D(nn.Module):
     # sliding-window ROI padding guarantees this). Ignored when
     # train=True or quant_mode="int8".
     s2d_eval: bool = False
+    # Same for train=True forwards (and their backward passes — the
+    # gradient of the s2d conv2d is another full-lane conv2d). Deep-sup
+    # head 0 emits normal layout either way (d2s'd before the loss).
+    s2d_train: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -266,8 +270,8 @@ class UNet3D(nn.Module):
         # even H, W, and the level-0 decoder up must exactly double the
         # level-1 dims back (interior levels reconcile odd sizes via
         # resize_trilinear as before)
-        use_s2d = (self.s2d_eval and not train and self.fast
-                   and self.quant_mode != "int8"
+        use_s2d = ((self.s2d_train if train else self.s2d_eval)
+                   and self.fast and self.quant_mode != "int8"
                    and all(s % 2 == 0 for s in full_res))
         skips: List[jax.Array] = []
         deep: List[jax.Array] = []
@@ -283,7 +287,10 @@ class UNet3D(nn.Module):
                 # dead at eval (returned only when train) but traced so
                 # init creates the same parameter tree in both modes
                 d = conv_out(f"deep{i}", s2d=lvl_s2d)(x)
-                if self.deep_sup_full_res and not lvl_s2d:
+                if lvl_s2d:
+                    # losses consume normal layout
+                    d = depth_to_space_hw(d)
+                if self.deep_sup_full_res:
                     d = resize_trilinear(d, full_res)
                 # kept in compute dtype; losses cast to f32 internally
                 deep.append(d)

@@ -134,6 +134,45 @@ def test_unet_s2d_eval_matches_normal():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_unet_s2d_train_matches_normal():
+    """s2d_train: train-mode forward (logits + deep heads + BN stats)
+    and parameter gradients match the normal path."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import UNet3D
+
+    kw = dict(out_channels=3, features=(8, 16, 32), dtype=jnp.float32,
+              dropout_rate=0.0)
+    m0 = UNet3D(**kw)
+    m1 = UNet3D(**kw, s2d_train=True)
+    x = _rand(KEY, (2, 8, 16, 24, 4))
+    v = m0.init(jax.random.PRNGKey(1), x, train=False)
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+
+    def loss(params, model):
+        out, upd = model.apply(
+            {**v, "params": params}, x, train=True, rngs=rngs,
+            mutable=["batch_stats"])
+        l = jnp.mean(out["logits"] ** 2)
+        l += sum(jnp.mean(d.astype(jnp.float32) ** 2) for d in out["deep"])
+        return l, (out, upd)
+
+    (l0, (o0, u0)), g0 = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], m0)
+    (l1, (o1, u1)), g1 = jax.value_and_grad(loss, has_aux=True)(
+        v["params"], m1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(o1["logits"]),
+                               np.asarray(o0["logits"]),
+                               rtol=2e-4, atol=2e-4)
+    for d0, d1 in zip(o0["deep"], o1["deep"]):
+        assert d0.shape == d1.shape
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=2e-4, atol=2e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5), u0, u1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4), g0, g1)
+
+
 def test_unet_s2d_eval_odd_dims_fall_back():
     """Odd spatial dims silently use the normal path (s2d needs even
     H, W and an exactly-doubling level-0 decoder)."""
