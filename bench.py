@@ -128,9 +128,10 @@ def main():
     cropping = import_module(pkg + ".inference.cropping")
     UNet3D = import_module(pkg + ".models").UNet3D
 
-    # s2d defaults ON for the headline unless measured otherwise; the
-    # flag pair allows A/B (--no_s2d reproduces the zcat-only path)
-    use_s2d = True if args.s2d is None else args.s2d
+    # s2d defaults OFF until the real-chip A/B lands (the attach was
+    # down when the formulation merged); --s2d/--no_s2d run the A/B.
+    # Flip the default only with a measured win in benchmarks/RESULTS.md.
+    use_s2d = False if args.s2d is None else args.s2d
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False,
                    s2d_eval=use_s2d)
     x_init = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)

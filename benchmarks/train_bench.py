@@ -21,6 +21,9 @@ def main():
                     default=(128, 128, 128))
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth level 0 (ops/s2d.py) in the "
+                         "train step")
     ap.add_argument("--sustained", action="store_true",
                     help="chain steps inside one jit (lax.scan) with a "
                          "single readback — device throughput without "
@@ -42,7 +45,7 @@ def main():
 
     cfg = Config()
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16,
-                   remat=not args.no_remat)
+                   remat=not args.no_remat, s2d_train=args.s2d)
     size = tuple(args.size)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                (1, *size, 4), steps_per_epoch=100)

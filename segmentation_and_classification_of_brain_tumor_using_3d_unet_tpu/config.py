@@ -51,6 +51,8 @@ class ModelConfig:
     # eval-only space-to-depth level 0 (ops/s2d.py): full-lane conv2d
     # for the N<=32 extremity blocks; exact and checkpoint-compatible
     s2d_eval: bool = False
+    # same for training steps (fwd + bwd)
+    s2d_train: bool = False
 
 
 @dataclass(frozen=True)

@@ -135,6 +135,8 @@ def train_main(argv: Optional[Sequence[str]] = None):
                    features=cfg.model.features,
                    dropout_rate=cfg.model.dropout_rate,
                    dtype=dtype, remat=cfg.model.remat,
+                   s2d_train=cfg.model.s2d_train,
+                   s2d_eval=cfg.model.s2d_eval,
                    deep_sup_full_res=cfg.loss.deep_supervision_full_res)
 
     trainer = ModernBrainTumorTrainer(
