@@ -1,3 +1,4 @@
+from .cli import discover_cases, predict_main
 from .cropping import (bucket_shape, crop_offsets, extract_crop,
                        nonzero_bbox, paste_full, plan_crop)
 from .predictor import Predictor, preprocess_image
@@ -6,6 +7,7 @@ from .sliding_window import (compute_patch_starts, gaussian_importance_map,
                              make_sw_predictor, sliding_window_inference)
 
 __all__ = ["Predictor", "preprocess_image",
+           "discover_cases", "predict_main",
            "calibrate_int8", "quant_scales_from_stats",
            "compute_patch_starts",
            "gaussian_importance_map", "make_sw_predictor",

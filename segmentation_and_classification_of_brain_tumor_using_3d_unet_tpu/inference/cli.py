@@ -1,0 +1,227 @@
+"""Batch prediction CLI: NIfTI/npy volumes in, label maps + clinical
+reports out.
+
+The reference exposes inference only through the Flask ``/upload``
+route (``main.py:829-910``); production cohorts need a headless path.
+This CLI drives the same stack serving uses — ``Predictor`` modes
+(cropped / sliding_window / whole_volume), trained-checkpoint adoption
+(``train.checkpoints.adopt_trained_weights``), and the deterministic
+clinical report (``serve/reports.py``) — over a file, a case
+directory, or a cohort of case directories.
+
+Usage:
+    python -m segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.cli \
+        --input data/cohort --output results/predictions --report
+
+Cases with a ground-truth ``*seg*`` file get REAL quality metrics
+(Dice/IoU/HD95 vs GT) in their report; without one the report carries
+the honest ``quality_estimated`` flag, exactly like serving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_VOLUME_EXTS = (".nii", ".nii.gz", ".npy")
+
+
+def _is_volume(p: Path) -> bool:
+    return p.name.endswith(_VOLUME_EXTS)
+
+
+def _case_from_dir(pdir: Path, modalities: Sequence[str]) -> Optional[Dict]:
+    """One case from a directory of per-modality files (BraTS layout,
+    ``data/dataset.py:_scan`` but with seg optional and partial
+    modality sets allowed)."""
+    files = [f for f in sorted(pdir.iterdir()) if _is_volume(f)]
+    if not files:
+        return None
+    images: List[str] = []
+    for m in modalities:
+        match = [f for f in files if m in f.name and "seg" not in f.name]
+        if match:
+            images.append(str(match[0]))
+    if not images:  # no modality tokens: every non-seg file is a channel
+        images = [str(f) for f in files if "seg" not in f.name]
+    if not images:
+        return None
+    seg = [f for f in files if "seg" in f.name]
+    return {"case_id": pdir.name, "images": images,
+            "seg": str(seg[0]) if seg else None}
+
+
+def discover_cases(input_path: str,
+                   modalities: Sequence[str]) -> List[Dict]:
+    """File -> one single-channel case. Directory of volumes -> one
+    case per file (or one stacked case if names carry modality tokens).
+    Directory of directories -> one case per subdir."""
+    root = Path(input_path)
+    if root.is_file():
+        if not _is_volume(root):
+            raise SystemExit(f"unsupported input: {root}")
+        return [{"case_id": root.name.split(".")[0],
+                 "images": [str(root)], "seg": None}]
+    if not root.is_dir():
+        raise SystemExit(f"input not found: {input_path}")
+
+    subdirs = [d for d in sorted(root.iterdir()) if d.is_dir()]
+    cases = [c for c in (_case_from_dir(d, modalities) for d in subdirs)
+             if c]
+    if cases:
+        return cases
+    own = _case_from_dir(root, modalities)
+    if own and any(m in Path(f).name for f in own["images"]
+                   for m in modalities):
+        return [own]        # the dir IS one multi-modal case
+    return [{"case_id": Path(f).name.split(".")[0], "images": [f],
+             "seg": None}
+            for f in (own or {"images": []})["images"]]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Segment brain MRI volumes (TPU-native, headless)")
+    p.add_argument("--input", required=True,
+                   help="volume file, case directory, or cohort root")
+    p.add_argument("--output", default="results/predictions")
+    p.add_argument("--mode", default="cropped",
+                   choices=["cropped", "sliding_window", "whole_volume"],
+                   help="cropped = foreground crop + Gaussian sliding "
+                        "window (serving default); whole_volume = the "
+                        "reference's destructive-resize semantics")
+    p.add_argument("--checkpoint", default="",
+                   help="trained checkpoint to adopt ('none' disables "
+                        "auto-discovery)")
+    p.add_argument("--models_dir", default="results/models",
+                   help="auto-adopt the newest compatible best_* here "
+                        "when --checkpoint is not given")
+    p.add_argument("--report", action="store_true",
+                   help="write <case>_report.json (volume/shape metrics,"
+                        " classification, clinical findings; real "
+                        "quality metrics when a *seg* GT file exists)")
+    p.add_argument("--format", default="nii.gz",
+                   choices=["nii.gz", "nii", "npy"])
+    p.add_argument("--preset", default="standard",
+                   choices=["standard", "fast", "high_quality",
+                            "lightweight", "production"])
+    p.add_argument("--image_size", type=int, nargs=3, default=None)
+    p.add_argument("--features", type=int, nargs="+", default=None)
+    p.add_argument("--roi_size", type=int, nargs=3, default=None,
+                   help="sliding-window tile size")
+    return p
+
+
+def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
+    """Programmatic entry; returns the per-case summary list."""
+    from ..environment import ensure_compilation_cache
+    ensure_compilation_cache()
+    import jax.numpy as jnp
+
+    from ..config import BRATS_MODALITIES, get_config
+    from ..data import nifti
+    from ..data.dataset import load_any_volume
+    from ..data.preprocess import preprocess_multimodal
+    from ..serve.reports import (calculate_medical_metrics,
+                                 generate_clinical_report)
+    from ..train.checkpoints import adopt_trained_weights
+    from .predictor import Predictor
+
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    cfg = get_config(args.preset)
+    mkw = {}
+    if args.features:
+        mkw["features"] = tuple(args.features)
+    if mkw:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **mkw))
+    if args.image_size:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, image_size=tuple(args.image_size)))
+    if args.roi_size:
+        cfg = cfg.replace(inference=dataclasses.replace(
+            cfg.inference, roi_size=tuple(args.roi_size)))
+
+    cases = discover_cases(args.input, BRATS_MODALITIES)
+    if not cases:
+        raise SystemExit(f"no volumes found under {args.input}")
+    logger.info("%d case(s) from %s", len(cases), args.input)
+
+    predictor = Predictor(cfg)
+    adopted = adopt_trained_weights(predictor, args.checkpoint,
+                                    args.models_dir, logger)
+    os.makedirs(args.output, exist_ok=True)
+
+    summaries: List[Dict] = []
+    for case in cases:
+        t0 = time.time()
+        vols = [load_any_volume(p) for p in case["images"]]
+        raw = np.stack(vols, axis=-1)               # (D,H,W,M)
+        # native-resolution normalization (whole_volume resizes inside
+        # the predictor; cropped/sliding_window segment at native res)
+        norm = np.asarray(preprocess_multimodal(jnp.asarray(raw),
+                                                out_size=None))
+        labels, conf = predictor.segment_with_confidence(norm,
+                                                         mode=args.mode)
+        base = os.path.join(args.output, case["case_id"])
+        mask_path = f"{base}_seg.{args.format}"
+        if args.format == "npy":
+            np.save(mask_path, labels)
+        else:
+            nifti.save(mask_path, labels.astype(np.uint8))
+        summary = {"case_id": case["case_id"], "mask": mask_path,
+                   "tumor_voxels": int((labels > 0).sum()),
+                   "shape": list(labels.shape),
+                   "seconds": round(time.time() - t0, 3)}
+
+        if args.report:
+            gt = None
+            if case["seg"]:
+                gt = load_any_volume(case["seg"]).astype(np.int32)
+            metrics = calculate_medical_metrics(
+                raw[..., 0], labels, ground_truth=gt,
+                confidence_map=conf)
+            tumor_type, cls_conf = predictor.classify_tumor(
+                norm, segmentation=labels)
+            grade = predictor.classify_grade(norm)
+            report = generate_clinical_report(
+                metrics, filename=case["case_id"],
+                classifier_confidence=cls_conf,
+                model_grade=grade[0] if grade else None,
+                grade_confidence=grade[1] if grade else None)
+            report["tumor_type"] = tumor_type
+            report["weights"] = adopted or "random_init"
+            report_path = f"{base}_report.json"
+            with open(report_path, "w") as f:
+                json.dump(report, f, indent=1, default=float)
+            summary["report"] = report_path
+            summary["diagnosis"] = (
+                report["classification"]["primary_diagnosis"])
+        summaries.append(summary)
+        logger.info("%s: %d tumor voxels in %.2fs", case["case_id"],
+                    summary["tumor_voxels"], summary["seconds"])
+
+    with open(os.path.join(args.output, "predictions.json"), "w") as f:
+        json.dump({"weights": adopted or "random_init", "mode": args.mode,
+                   "cases": summaries}, f, indent=1, default=float)
+    return summaries
+
+
+def main() -> None:
+    predict_main()
+
+
+if __name__ == "__main__":
+    main()

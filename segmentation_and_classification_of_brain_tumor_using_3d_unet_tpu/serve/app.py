@@ -15,7 +15,6 @@ fails (reference's ubiquitous try/except->demo contract).
 
 from __future__ import annotations
 
-import glob
 import json
 import logging
 import os
@@ -139,50 +138,15 @@ class BrainTumorApp:
         absent checkpoints leave the reference's untrained-model
         behavior (``main.py:330-354``) with ``weights_source`` saying
         so in ``/health``."""
-        from ..train import checkpoints as ckpt
+        from ..train.checkpoints import adopt_trained_weights
 
         spec = getattr(self.config.inference, "checkpoint", "")
-        if spec == "none":
-            return
-        candidates = ([spec] if spec else sorted(
-            glob.glob(os.path.join(self.config.models_dir, "best_*")),
-            key=os.path.getmtime, reverse=True))
-        live = predictor.seg_variables["params"]
-        for path in candidates:
-            try:
-                params, bstats = ckpt.load_inference_weights(path)
-            except Exception as e:
-                logger.warning("checkpoint %s unreadable: %s", path, e)
-                continue
-            # a joint (UNet3DWithClassifier) checkpoint nests the seg
-            # trunk under "unet" — adopt that subtree
-            trees = [(params, bstats)]
-            if isinstance(params, dict) and "unet" in params:
-                trees.append((params["unet"],
-                              bstats.get("unet")
-                              if isinstance(bstats, dict) else None))
-            adopted = False
-            for p, b in trees:
-                if ckpt.compatible_tree(p, live):
-                    predictor.load_seg_params(p, b)
-                    adopted = True
-                    if p is not params and b is not None:
-                        # joint checkpoint: also enable the trained
-                        # grade head (upload reports grade_source=model)
-                        try:
-                            predictor.load_joint_grade(params, bstats)
-                        except Exception as e:
-                            logger.warning("grade head not enabled: %s",
-                                           e)
-                    break
-            if not adopted:
-                logger.info("checkpoint %s: different model config, "
-                            "skipping", path)
-                continue
+        path = adopt_trained_weights(
+            predictor, spec, self.config.models_dir, logger)
+        if path:
             self.weights_source = path
             logger.info("serving with trained weights from %s", path)
-            return
-        if spec:
+        elif spec and spec != "none":
             logger.warning("configured checkpoint %s not loaded; "
                            "serving random init", spec)
 

@@ -122,6 +122,58 @@ def load_inference_weights(path: str) -> Tuple[Any, Optional[Any]]:
     return restored["params"], restored.get("batch_stats")
 
 
+def adopt_trained_weights(predictor, checkpoint: str = "",
+                          models_dir: str = "",
+                          log=None) -> Optional[str]:
+    """Adopt trained segmentation weights into a ``Predictor``: an
+    explicit ``checkpoint`` path, or the newest structurally compatible
+    ``best_*`` checkpoint under ``models_dir`` — the trained-weights
+    handoff shared by the web tier (serve/app) and the predict CLI
+    (inference/cli). Joint (``UNet3DWithClassifier``) checkpoints adopt
+    the nested ``unet`` trunk and enable the trained grade head.
+
+    Returns the adopted checkpoint path, or None (incompatible/absent
+    checkpoints leave the predictor untouched — the reference's
+    untrained-model behavior, ``main.py:330-354``)."""
+    import glob
+    import logging
+
+    log = log or logging.getLogger(__name__)
+    if checkpoint == "none":
+        return None
+    candidates = ([checkpoint] if checkpoint else sorted(
+        glob.glob(os.path.join(models_dir, "best_*")),
+        key=os.path.getmtime, reverse=True))
+    live = predictor.seg_variables["params"]
+    for path in candidates:
+        try:
+            params, bstats = load_inference_weights(path)
+        except Exception as e:
+            log.warning("checkpoint %s unreadable: %s", path, e)
+            continue
+        # a joint checkpoint nests the seg trunk under "unet"
+        trees = [(params, bstats)]
+        if isinstance(params, dict) and "unet" in params:
+            trees.append((params["unet"],
+                          bstats.get("unet")
+                          if isinstance(bstats, dict) else None))
+        for p, b in trees:
+            if not compatible_tree(p, live):
+                continue
+            predictor.load_seg_params(p, b)
+            if p is not params and b is not None:
+                # joint checkpoint: also enable the trained grade head
+                try:
+                    predictor.load_joint_grade(params, bstats)
+                except Exception as e:
+                    log.warning("grade head not enabled: %s", e)
+            log.info("loaded trained weights from %s", path)
+            return path
+        log.info("checkpoint %s: different model config, skipping",
+                 path)
+    return None
+
+
 def compatible_tree(a, b) -> bool:
     """True iff two pytrees have identical structure and leaf shapes
     (dtype may differ — params cast on use)."""

@@ -1,0 +1,99 @@
+"""Batch-predict CLI (inference/cli.py): case discovery + end-to-end
+mask/report emission (the headless counterpart of the reference's
+``/upload`` route, main.py:829-910)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+    BRATS_MODALITIES)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+    nifti)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import (
+    discover_cases, predict_main)
+
+
+def _ball(shape=(24, 24, 24), r=6):
+    zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+    c = np.array(shape) // 2
+    return ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+            <= r * r)
+
+
+def _write_case(case_dir, with_seg, rng, n_modalities=4):
+    case_dir.mkdir(parents=True)
+    ball = _ball()
+    for m in BRATS_MODALITIES[:n_modalities]:
+        vol = rng.random((24, 24, 24)).astype(np.float32) + 2.0 * ball
+        nifti.save(str(case_dir / f"{case_dir.name}_{m}.nii.gz"), vol)
+    if with_seg:
+        nifti.save(str(case_dir / f"{case_dir.name}_seg.nii.gz"),
+                   ball.astype(np.uint8))
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("cohort")
+    _write_case(root / "case_a", with_seg=True, rng=rng)
+    _write_case(root / "case_b", with_seg=False, rng=rng,
+                n_modalities=2)
+    return root
+
+
+def test_discover_cohort(cohort):
+    cases = discover_cases(str(cohort), BRATS_MODALITIES)
+    assert [c["case_id"] for c in cases] == ["case_a", "case_b"]
+    assert len(cases[0]["images"]) == 4 and cases[0]["seg"]
+    assert len(cases[1]["images"]) == 2 and cases[1]["seg"] is None
+
+
+def test_discover_single_file(tmp_path):
+    p = tmp_path / "vol.npy"
+    np.save(p, np.zeros((8, 8, 8), np.float32))
+    cases = discover_cases(str(p), BRATS_MODALITIES)
+    assert cases == [{"case_id": "vol", "images": [str(p)],
+                      "seg": None}]
+
+
+def test_discover_case_dir(cohort):
+    cases = discover_cases(str(cohort / "case_a"), BRATS_MODALITIES)
+    assert len(cases) == 1 and len(cases[0]["images"]) == 4
+
+
+def test_discover_loose_files(tmp_path):
+    for n in ("p1.npy", "p2.npy"):
+        np.save(tmp_path / n, np.zeros((8, 8, 8), np.float32))
+    cases = discover_cases(str(tmp_path), BRATS_MODALITIES)
+    assert sorted(c["case_id"] for c in cases) == ["p1", "p2"]
+
+
+def test_predict_end_to_end(cohort, tmp_path):
+    out = tmp_path / "pred"
+    summaries = predict_main([
+        "--input", str(cohort), "--output", str(out),
+        "--mode", "whole_volume", "--report", "--checkpoint", "none",
+        "--image_size", "16", "16", "16", "--features", "8", "16",
+        "--roi_size", "16", "16", "16"])
+    assert len(summaries) == 2
+
+    # masks decode to the native case shape with valid labels
+    seg = nifti.load_volume(str(out / "case_a_seg.nii.gz"))
+    assert seg.shape == (24, 24, 24)
+    assert set(np.unique(seg)) <= {0, 1, 2, 3}
+
+    # case_a has GT: real quality metrics; case_b: estimated
+    rep_a = json.load(open(out / "case_a_report.json"))
+    rep_b = json.load(open(out / "case_b_report.json"))
+    assert rep_a["quality_metrics"]["estimated"] is False
+    assert rep_b["quality_metrics"]["estimated"] is True
+    assert rep_a["classification"]["primary_diagnosis"]
+    assert "tumor_type" in rep_a
+    assert rep_a["weights"] == "random_init"
+
+    idx = json.load(open(out / "predictions.json"))
+    assert [c["case_id"] for c in idx["cases"]] == ["case_a", "case_b"]
+    assert all(os.path.exists(c["mask"]) for c in idx["cases"])
