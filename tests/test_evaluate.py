@@ -1,0 +1,110 @@
+"""Cohort evaluation CLI (inference/evaluate.py): metric math,
+NaN/inf exclusion semantics, and pairing against a BraTS-style GT
+tree. Standalone scorer the reference lacks (its quality metrics live
+only inside the training loop, training.py:341-369)."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+    nifti)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import (
+    discover_pairs, evaluate_case, evaluate_main)
+from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.evaluate import (
+    aggregate)
+
+
+def _cube(shape=(16, 16, 16), lo=4, hi=10, label=1):
+    v = np.zeros(shape, np.int32)
+    v[lo:hi, lo:hi, lo:hi] = label
+    return v
+
+
+def test_perfect_prediction():
+    gt = _cube(label=2)
+    m = evaluate_case(gt.copy(), gt)
+    assert m["dice_c2"] == pytest.approx(1.0)
+    assert math.isnan(m["dice_c1"])          # absent in both => excluded
+    assert m["dice_WT"] == pytest.approx(1.0)
+    assert m["hd95_WT"] == pytest.approx(0.0)
+    assert m["iou"] == pytest.approx(1.0)
+    assert m["sensitivity"] == pytest.approx(1.0)
+
+
+def test_known_overlap_dice_and_hd():
+    gt = _cube(lo=4, hi=10)                  # 6^3 cube
+    pred = _cube(lo=4, hi=10)
+    pred[:, :, 9] = 0                        # shave one z-plane: 6*6*5 left
+    m = evaluate_case(pred, gt)
+    inter, ps, ts = 180.0, 180.0, 216.0
+    assert m["dice_c1"] == pytest.approx(2 * inter / (ps + ts))
+    assert m["iou"] == pytest.approx(inter / ts)
+    assert m["sensitivity"] == pytest.approx(inter / ts)
+    # worst pred-surface point is 1 voxel from GT surface
+    assert m["hd95_WT"] <= 1.0 + 1e-6
+    # empty-vs-present region: HD inf, dice 0
+    gt_et = _cube(label=3)
+    m2 = evaluate_case(_cube(label=1), gt_et)
+    assert math.isinf(m2["hd95_ET"])
+    assert m2["dice_ET"] == pytest.approx(0.0)
+
+
+def test_spacing_scales_hd():
+    gt = _cube(lo=4, hi=10)
+    pred = np.roll(gt, 2, axis=0)            # 2-voxel z shift
+    m1 = evaluate_case(pred, gt, spacing=(1.0, 1.0, 1.0))
+    m3 = evaluate_case(pred, gt, spacing=(3.0, 1.0, 1.0))
+    assert m3["hd95_WT"] == pytest.approx(3.0 * m1["hd95_WT"], rel=0.3)
+
+
+def test_aggregate_excludes_nonfinite():
+    agg = aggregate({"a": {"x": 1.0}, "b": {"x": float("nan")},
+                     "c": {"x": float("inf")}, "d": {"x": 3.0}})
+    assert agg["x"]["mean"] == pytest.approx(2.0)
+    assert agg["x"]["n"] == 2 and agg["x"]["n_excluded"] == 2
+
+
+def test_shape_mismatch_raises():
+    with pytest.raises(ValueError):
+        evaluate_case(np.zeros((8, 8, 8), np.int32),
+                      np.zeros((8, 8, 9), np.int32))
+
+
+@pytest.fixture()
+def cohort_with_preds(tmp_path):
+    gt_root = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    pred_dir.mkdir()
+    for cid, shift in [("case_a", 0), ("case_b", 1)]:
+        d = gt_root / cid
+        d.mkdir(parents=True)
+        gt = _cube(label=1) + _cube(lo=6, hi=8, label=2)
+        nifti.save(str(d / f"{cid}_seg.nii.gz"), gt.astype(np.uint8))
+        nifti.save(str(pred_dir / f"{cid}_seg.nii.gz"),
+                   np.roll(gt, shift, axis=1).astype(np.uint8))
+    (pred_dir / "orphan_seg.nii.gz").write_bytes(b"")  # no GT: skipped
+    return gt_root, pred_dir
+
+
+def test_discover_pairs(cohort_with_preds):
+    gt_root, pred_dir = cohort_with_preds
+    pairs = discover_pairs(str(pred_dir), str(gt_root))
+    assert [p["case_id"] for p in pairs] == ["case_a", "case_b"]
+    assert all("seg" in p["gt"] for p in pairs)
+
+
+def test_evaluate_main_end_to_end(cohort_with_preds, capsys):
+    gt_root, pred_dir = cohort_with_preds
+    out = pred_dir / "eval.json"
+    result = evaluate_main(["--pred", str(pred_dir),
+                            "--gt", str(gt_root),
+                            "--output", str(out)])
+    assert result["n_cases"] == 2
+    assert result["cases"]["case_a"]["dice_c1"] == pytest.approx(1.0)
+    assert result["cases"]["case_b"]["dice_c1"] < 1.0
+    on_disk = json.load(open(out))
+    assert on_disk["aggregate"]["dice_WT"]["n"] == 2
+    assert "dice_WT" in capsys.readouterr().out
