@@ -110,6 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write <case>_report.json (volume/shape metrics,"
                         " classification, clinical findings; real "
                         "quality metrics when a *seg* GT file exists)")
+    p.add_argument("--save_confidence", action="store_true",
+                   help="also write <case>_conf.* per-voxel max-softmax "
+                        "confidence maps (float32)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard cases over all devices on a data mesh "
+                        "(whole_volume mode; same-shape cases batch "
+                        "together)")
+    p.add_argument("--batch_per_chip", type=int, default=1,
+                   help="volumes per device per wave in --data_parallel")
     p.add_argument("--format", default="nii.gz",
                    choices=["nii.gz", "nii", "npy"])
     p.add_argument("--preset", default="standard",
@@ -164,17 +173,54 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
                                     args.models_dir, logger)
     os.makedirs(args.output, exist_ok=True)
 
-    summaries: List[Dict] = []
-    for case in cases:
-        t0 = time.time()
+    def _load(case):
         vols = [load_any_volume(p) for p in case["images"]]
         raw = np.stack(vols, axis=-1)               # (D,H,W,M)
         # native-resolution normalization (whole_volume resizes inside
         # the predictor; cropped/sliding_window segment at native res)
         norm = np.asarray(preprocess_multimodal(jnp.asarray(raw),
                                                 out_size=None))
-        labels, conf = predictor.segment_with_confidence(norm,
-                                                         mode=args.mode)
+        return raw, norm
+
+    loaded: Dict[str, tuple] = {}
+    dp_results: Dict[str, tuple] = {}
+    if args.data_parallel:
+        # whole cohort resident on host; fine for cohort batch jobs,
+        # use the sequential path for arbitrarily large runs
+        if args.mode != "whole_volume":
+            raise SystemExit("--data_parallel batches the single-"
+                             "forward whole_volume mode; cropped/"
+                             "sliding_window are per-volume "
+                             "(drop --data_parallel)")
+        from ..parallel import create_mesh
+        from ..parallel.infer import segment_cohort_whole
+        mesh = create_mesh()        # every device on the data axis
+        logger.info("data-parallel over %d device(s)",
+                    mesh.devices.size)
+        groups: Dict[tuple, List] = {}
+        for case in cases:
+            loaded[case["case_id"]] = _load(case)
+            canon = predictor._canon(loaded[case["case_id"]][1])
+            groups.setdefault(canon.shape, []).append(
+                (case["case_id"], canon))
+        for shape, members in groups.items():
+            labs, confs = segment_cohort_whole(
+                predictor.seg_model, predictor.seg_variables, mesh,
+                np.stack([c for _, c in members]),
+                cfg.data.image_size,
+                batch_per_chip=args.batch_per_chip)
+            for (cid, _), lab, conf in zip(members, labs, confs):
+                dp_results[cid] = (lab, conf)
+
+    summaries: List[Dict] = []
+    for case in cases:
+        t0 = time.time()
+        raw, norm = loaded.get(case["case_id"]) or _load(case)
+        if case["case_id"] in dp_results:
+            labels, conf = dp_results[case["case_id"]]
+        else:
+            labels, conf = predictor.segment_with_confidence(
+                norm, mode=args.mode)
         base = os.path.join(args.output, case["case_id"])
         mask_path = f"{base}_seg.{args.format}"
         if args.format == "npy":
@@ -185,6 +231,13 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
                    "tumor_voxels": int((labels > 0).sum()),
                    "shape": list(labels.shape),
                    "seconds": round(time.time() - t0, 3)}
+        if args.save_confidence:
+            conf_path = f"{base}_conf.{args.format}"
+            if args.format == "npy":
+                np.save(conf_path, conf)
+            else:
+                nifti.save(conf_path, conf.astype(np.float32))
+            summary["confidence"] = conf_path
 
         if args.report:
             gt = None

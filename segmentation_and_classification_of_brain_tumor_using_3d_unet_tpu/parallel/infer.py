@@ -25,7 +25,8 @@ from jax.sharding import Mesh
 
 from .mesh import batch_sharding, replicated
 
-__all__ = ["make_dp_segmenter", "segment_cohort"]
+__all__ = ["make_dp_segmenter", "segment_cohort",
+           "make_dp_whole_predictor", "segment_cohort_whole"]
 
 
 def make_dp_segmenter(model, variables, mesh: Mesh) -> Callable:
@@ -68,3 +69,55 @@ def segment_cohort(model, variables, mesh: Mesh, volumes,
     for i in range(0, vols.shape[0], wave):
         outs.append(np.asarray(seg(jnp.asarray(vols[i:i + wave]))))
     return np.concatenate(outs, 0)[:n]
+
+
+def make_dp_whole_predictor(model, variables, mesh: Mesh,
+                            model_size) -> Callable:
+    """Mesh-sharded whole-volume segmenter at NATIVE resolution.
+
+    ``segment(vols) -> (labels, confidence)`` for (N, D, H, W, C)
+    native-res volumes: resize to ``model_size`` -> forward -> resize
+    logits back to native -> argmax/max-softmax, all inside one jitted
+    program with N sharded over the ``data`` axis (the batched
+    counterpart of ``Predictor._whole_volume_logits``,
+    reference semantics ``main.py:382-398``).
+    """
+    from ..ops.resize import resize_trilinear
+
+    bs, rep = batch_sharding(mesh), replicated(mesh)
+
+    @functools.partial(jax.jit, in_shardings=(rep, bs),
+                       out_shardings=(bs, bs))
+    def run(v, vols):
+        x = resize_trilinear(vols, tuple(model_size))
+        out = model.apply(v, x, train=False)
+        logits = out["logits"] if isinstance(out, dict) else out
+        logits = resize_trilinear(logits, vols.shape[1:4])
+        probs = jax.nn.softmax(logits, axis=-1)
+        return (jnp.argmax(probs, axis=-1).astype(jnp.int8),
+                jnp.max(probs, axis=-1).astype(jnp.float32))
+
+    return lambda vols: run(variables, vols)
+
+
+def segment_cohort_whole(model, variables, mesh: Mesh, volumes,
+                         model_size, batch_per_chip: int = 1):
+    """Arbitrary-length same-shape cohort through
+    ``make_dp_whole_predictor`` in fixed-size waves (one compiled
+    program); strips padding. Returns (labels (N,D,H,W) int8,
+    confidence (N,D,H,W) float32)."""
+    vols = np.asarray(volumes)
+    n = vols.shape[0]
+    data = mesh.shape.get("data", mesh.devices.size)
+    wave = data * batch_per_chip
+    pad = (-n) % wave
+    if pad:
+        vols = np.concatenate([vols, np.repeat(vols[:1], pad, 0)], 0)
+    seg = make_dp_whole_predictor(model, variables, mesh, model_size)
+    labels, confs = [], []
+    for i in range(0, vols.shape[0], wave):
+        lab, conf = seg(jnp.asarray(vols[i:i + wave]))
+        labels.append(np.asarray(lab))
+        confs.append(np.asarray(conf))
+    return (np.concatenate(labels, 0)[:n],
+            np.concatenate(confs, 0)[:n])

@@ -97,3 +97,34 @@ def test_predict_end_to_end(cohort, tmp_path):
     idx = json.load(open(out / "predictions.json"))
     assert [c["case_id"] for c in idx["cases"]] == ["case_a", "case_b"]
     assert all(os.path.exists(c["mask"]) for c in idx["cases"])
+
+
+@pytest.mark.slow
+def test_data_parallel_matches_sequential(cohort, tmp_path):
+    """--data_parallel shards the cohort over the virtual 8-device CPU
+    mesh (conftest) and must reproduce the sequential whole-volume
+    path per case."""
+    common = ["--input", str(cohort), "--mode", "whole_volume",
+              "--checkpoint", "none", "--format", "npy",
+              "--save_confidence",
+              "--image_size", "16", "16", "16", "--features", "8",
+              "16", "--roi_size", "16", "16", "16"]
+    predict_main(["--output", str(tmp_path / "seq")] + common)
+    predict_main(["--output", str(tmp_path / "dp"),
+                  "--data_parallel"] + common)
+    for cid in ("case_a", "case_b"):
+        seq = np.load(tmp_path / "seq" / f"{cid}_seg.npy")
+        dp = np.load(tmp_path / "dp" / f"{cid}_seg.npy")
+        # identical up to bf16 fusion-order ties at class boundaries
+        assert (seq != dp).mean() < 0.01
+        cseq = np.load(tmp_path / "seq" / f"{cid}_conf.npy")
+        cdp = np.load(tmp_path / "dp" / f"{cid}_conf.npy")
+        np.testing.assert_allclose(cseq, cdp, atol=0.05)
+
+
+def test_data_parallel_rejects_sliding_window(cohort, tmp_path):
+    with pytest.raises(SystemExit):
+        predict_main(["--input", str(cohort),
+                      "--output", str(tmp_path / "x"),
+                      "--mode", "cropped", "--data_parallel",
+                      "--checkpoint", "none"])
