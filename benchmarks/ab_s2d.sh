@@ -12,6 +12,7 @@ run() {
 run 1200 python bench.py --no_s2d          # reproduce the 10.70 baseline
 run 1200 python bench.py --s2d             # s2d_eval A/B
 run 1200 python bench.py --roi 128 128 160 # forced multi-window tiled
+run 1200 python bench.py --roi 128 128 160 --s2d # tiled + s2d A/B
 run 1200 python benchmarks/train_bench.py --no_remat          # 246.6 ms/step baseline
 run 1200 python benchmarks/train_bench.py --no_remat --s2d    # s2d_train A/B
 echo "=== done [$(date -u +%H:%M:%S)]" | tee -a "$LOG"
