@@ -203,6 +203,7 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             canon = predictor._canon(loaded[case["case_id"]][1])
             groups.setdefault(canon.shape, []).append(
                 (case["case_id"], canon))
+        t_dp = time.time()
         for shape, members in groups.items():
             labs, confs = segment_cohort_whole(
                 predictor.seg_model, predictor.seg_variables, mesh,
@@ -211,6 +212,8 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
                 batch_per_chip=args.batch_per_chip)
             for (cid, _), lab, conf in zip(members, labs, confs):
                 dp_results[cid] = (lab, conf)
+        # amortize the batched segmentation into per-case seconds
+        dp_seconds = (time.time() - t_dp) / max(len(cases), 1)
 
     summaries: List[Dict] = []
     for case in cases:
@@ -227,10 +230,13 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             np.save(mask_path, labels)
         else:
             nifti.save(mask_path, labels.astype(np.uint8))
+        secs = time.time() - t0
+        if case["case_id"] in dp_results:
+            secs += dp_seconds
         summary = {"case_id": case["case_id"], "mask": mask_path,
                    "tumor_voxels": int((labels > 0).sum()),
                    "shape": list(labels.shape),
-                   "seconds": round(time.time() - t0, 3)}
+                   "seconds": round(secs, 3)}
         if args.save_confidence:
             conf_path = f"{base}_conf.{args.format}"
             if args.format == "npy":
@@ -266,9 +272,12 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
         logger.info("%s: %d tumor voxels in %.2fs", case["case_id"],
                     summary["tumor_voxels"], summary["seconds"])
 
+    index = {"weights": adopted or "random_init", "mode": args.mode,
+             "cases": summaries}
+    if args.data_parallel:
+        index["data_parallel_devices"] = int(mesh.devices.size)
     with open(os.path.join(args.output, "predictions.json"), "w") as f:
-        json.dump({"weights": adopted or "random_init", "mode": args.mode,
-                   "cases": summaries}, f, indent=1, default=float)
+        json.dump(index, f, indent=1, default=float)
     return summaries
 
 
