@@ -122,6 +122,41 @@ def test_data_parallel_matches_sequential(cohort, tmp_path):
         np.testing.assert_allclose(cseq, cdp, atol=0.05)
 
 
+@pytest.mark.slow
+def test_cli_adopts_trained_checkpoint(cohort, tmp_path):
+    """Auto-discovery of the newest compatible best_* checkpoint under
+    --models_dir (the serving handoff, shared via
+    train.checkpoints.adopt_trained_weights)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+        get_config)
+    import dataclasses
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.predictor import (
+        Predictor)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.checkpoints import (
+        save_params_only)
+
+    cfg = get_config("standard")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, features=(8, 16)),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)))
+    params = Predictor(cfg).seg_variables["params"]
+    models_dir = tmp_path / "models"
+    models_dir.mkdir()
+    ckpt = save_params_only(str(models_dir / "best_t"), params)
+
+    out = tmp_path / "pred"
+    predict_main([
+        "--input", str(cohort / "case_a"), "--output", str(out),
+        "--mode", "whole_volume", "--report",
+        "--models_dir", str(models_dir),
+        "--image_size", "16", "16", "16", "--features", "8", "16",
+        "--roi_size", "16", "16", "16"])
+    idx = json.load(open(out / "predictions.json"))
+    assert idx["weights"] == ckpt
+    rep = json.load(open(out / "case_a_report.json"))
+    assert rep["weights"] == ckpt
+
+
 def test_data_parallel_rejects_sliding_window(cohort, tmp_path):
     with pytest.raises(SystemExit):
         predict_main(["--input", str(cohort),
