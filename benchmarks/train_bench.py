@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth level 0 (ops/s2d.py) in the "
                          "train step")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches per optimizer update (--batch "
+                         "is the full effective batch)")
     ap.add_argument("--sustained", action="store_true",
                     help="chain steps inside one jit (lax.scan) with a "
                          "single readback — device throughput without "
@@ -43,7 +46,7 @@ def main():
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
         create_train_state, make_train_step)
 
-    cfg = Config()
+    cfg = Config(grad_accum=args.grad_accum)
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16,
                    remat=not args.no_remat, s2d_train=args.s2d)
     size = tuple(args.size)

@@ -181,6 +181,12 @@ class Config:
     # training loop (reference config.py:20-23, 57-58, 78-79)
     epochs: int = 100
     batch_size: int = 2
+    # microbatches summed per optimizer update (lax.scan inside the
+    # jitted step): large-effective-batch semantics at one
+    # microbatch's activation memory (batch_size 4 OOMs on one chip —
+    # benchmarks/RESULTS.md). 1 = off. TPU addition; the reference has
+    # no accumulation.
+    grad_accum: int = 1
     early_stopping_patience: int = 20
     val_interval: int = 1
     seed: int = 42

@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     # reference flags (train_model.py:121-133)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches summed per optimizer update "
+                        "(batch_size must divide evenly); large-batch "
+                        "semantics at one microbatch's memory")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--data_dir", type=str, default="data/synthetic/BraTS2024")
     p.add_argument("--create_synthetic", action="store_true")
@@ -76,6 +80,7 @@ def train_main(argv: Optional[Sequence[str]] = None):
 
     cfg = get_config(args.preset)
     cfg = cfg.replace(epochs=args.epochs, batch_size=args.batch_size,
+                      grad_accum=args.grad_accum,
                       use_wandb=args.use_wandb)
     if args.image_size:
         cfg = cfg.replace(

@@ -42,17 +42,28 @@ def make_loss_fn(config: Config) -> Callable:
 
 def make_train_step(config: Config, num_classes: int = 4,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
-    """Returns ``step(state, batch, key) -> (state, metrics)``, jitted."""
+                    donate: bool = True,
+                    grad_accum: Optional[int] = None) -> Callable:
+    """Returns ``step(state, batch, key) -> (state, metrics)``, jitted.
+
+    ``grad_accum`` > 1 (default ``config.grad_accum``) splits the batch
+    into that many microbatches and runs them through a ``lax.scan``
+    inside the one jitted program — gradients are averaged in the scan
+    carry, so activation memory stays at ONE microbatch while the
+    optimizer sees the full-batch gradient. Every loss term reduces as
+    a per-sample mean (``losses.py``) and GroupNorm is per-sample, so
+    the accumulated gradient equals the full-batch gradient exactly
+    (tests/test_train.py parity test); batch_stats advance sequentially
+    per microbatch (standard BN-under-accumulation semantics).
+    """
     loss_fn = make_loss_fn(config)
+    accum = config.grad_accum if grad_accum is None else grad_accum
 
-    def step(state: TrainState, batch: Dict[str, jax.Array],
-             key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        images, targets = batch["image"], batch["mask"]
-
+    def micro_grads(state, images, targets, key, bs_state):
+        """One microbatch: (loss, grads, logits, new_batch_stats)."""
         def compute_loss(params):
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": bs_state},
                 images, train=True, mutable=["batch_stats"],
                 rngs={"dropout": key})
             return loss_fn(out, targets), (mutated["batch_stats"],
@@ -60,12 +71,59 @@ def make_train_step(config: Config, num_classes: int = 4,
 
         (loss, (new_bs, logits)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
+        return loss, grads, logits, new_bs
+
+    def grad_norm(grads) -> jax.Array:
+        return jnp.sqrt(sum(
+            jnp.vdot(g, g) for g in jax.tree_util.tree_leaves(grads)))
+
+    def step(state: TrainState, batch: Dict[str, jax.Array],
+             key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        images, targets = batch["image"], batch["mask"]
+        loss, grads, logits, new_bs = micro_grads(
+            state, images, targets, key, state.batch_stats)
         new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         metrics = {
             "loss": loss,
             "dice": mean_foreground_dice(logits, targets, num_classes),
+            "grad_norm": grad_norm(grads),
         }
         return new_state, metrics
+
+    def step_accum(state: TrainState, batch: Dict[str, jax.Array],
+                   key: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        images, targets = batch["image"], batch["mask"]
+        b = images.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by "
+                             f"grad_accum {accum}")
+        mb = b // accum
+        im = images.reshape(accum, mb, *images.shape[1:])
+        tg = targets.reshape(accum, mb, *targets.shape[1:])
+        keys = jax.random.split(key, accum)
+
+        def body(carry, xs):
+            bs_state, gacc, lacc, dacc = carry
+            im_i, tg_i, k_i = xs
+            loss, grads, logits, new_bs = micro_grads(
+                state, im_i, tg_i, k_i, bs_state)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            dice = mean_foreground_dice(logits, tg_i, num_classes)
+            return (new_bs, gacc, lacc + loss, dacc + dice), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_bs, gsum, lsum, dsum), _ = jax.lax.scan(
+            body, (state.batch_stats, zeros, 0.0, 0.0),
+            (im, tg, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        metrics = {"loss": lsum / accum, "dice": dsum / accum,
+                   "grad_norm": grad_norm(grads)}
+        return new_state, metrics
+
+    if accum > 1:
+        step = step_accum
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated

@@ -83,6 +83,63 @@ def test_train_step_runs_and_learns(brats_dir):
     assert ev["pred_labels"].shape == batch["mask"].shape
 
 
+def test_grad_accum_matches_full_batch(brats_dir):
+    """grad_accum=2 over a b4 batch must produce the full-batch
+    gradient (all loss terms reduce as per-sample means and GroupNorm
+    is per-sample): loss and post-update params agree to fp32
+    summation-order noise. The dice METRIC is batch-aggregated, so
+    under accumulation it is a mean of microbatch dices — compared
+    loosely."""
+    import dataclasses
+    cfg = tiny_config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                dropout_rate=0.0))
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32, dropout_rate=0.0)
+    train_loader, _ = create_brats_data_loaders(
+        brats_dir, batch_size=4, num_workers=1, image_size=IMG)
+    batch = next(iter(train_loader))
+    assert batch["image"].shape[0] == 4
+
+    def new_state():
+        return create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                  (1, *IMG, 4), steps_per_epoch=2)
+
+    plain = make_train_step(cfg, donate=False)
+    accum = make_train_step(cfg.replace(grad_accum=2), donate=False)
+    s1, m1 = plain(new_state(), batch, jax.random.PRNGKey(1))
+    s2, m2 = accum(new_state(), batch, jax.random.PRNGKey(1))
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]),
+                                              rel=1e-4)
+    assert float(m2["dice"]) == pytest.approx(float(m1["dice"]),
+                                              abs=0.05)
+    # gradient parity is the semantic check (sum-vs-mean scaling or a
+    # wrong microbatch slice shifts the norm far beyond fp noise)
+    assert float(m2["grad_norm"]) == pytest.approx(
+        float(m1["grad_norm"]), rel=1e-3)
+    # Adam normalizes per-element, so fp noise on near-zero gradients
+    # can flip single updates by +-lr: bound params loosely (2x the
+    # 1e-4 update scale) to catch gross divergence only
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4)
+
+
+def test_grad_accum_rejects_indivisible_batch(brats_dir):
+    cfg = tiny_config().replace(grad_accum=3)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    train_loader, _ = create_brats_data_loaders(
+        brats_dir, batch_size=4, num_workers=1, image_size=IMG)
+    batch = next(iter(train_loader))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4))
+    with pytest.raises(ValueError, match="grad_accum"):
+        make_train_step(cfg, donate=False)(
+            state, batch, jax.random.PRNGKey(1))
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end(brats_dir, tmp_path):
     cfg = tiny_config(
