@@ -148,6 +148,11 @@ class InferenceConfig:
     # cropping; "whole_volume" reproduces the reference's destructive
     # zoom-to-model-size semantics (main.py:382-398)
     upload_mode: str = "cropped"
+    # mirror test-time augmentation: average probabilities over the 8
+    # D/H/W flips (nnU-Net practice; ~8x inference cost, better Dice).
+    # Off by default — serving latency and the headline bench stay
+    # single-pass. No reference counterpart.
+    tta: bool = False
     # canonical crop-bucket sizes for serving: each crop axis rounds up
     # to the smallest rung, so a serving process compiles at most a
     # handful of sliding-window programs regardless of brain sizes

@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_confidence", action="store_true",
                    help="also write <case>_conf.* per-voxel max-softmax "
                         "confidence maps (float32)")
+    p.add_argument("--tta", action="store_true",
+                   help="mirror test-time augmentation: average "
+                        "probabilities over the 8 D/H/W flips (~8x "
+                        "cost, better Dice)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard cases over all devices on a data mesh "
                         "(whole_volume mode; same-shape cases batch "
@@ -192,6 +196,9 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
                              "forward whole_volume mode; cropped/"
                              "sliding_window are per-volume "
                              "(drop --data_parallel)")
+        if args.tta:
+            raise SystemExit("--tta is per-volume; drop "
+                             "--data_parallel to combine")
         from ..parallel import create_mesh
         from ..parallel.infer import segment_cohort_whole
         mesh = create_mesh()        # every device on the data axis
@@ -223,7 +230,7 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             labels, conf = dp_results[case["case_id"]]
         else:
             labels, conf = predictor.segment_with_confidence(
-                norm, mode=args.mode)
+                norm, mode=args.mode, tta=args.tta)
         base = os.path.join(args.output, case["case_id"])
         mask_path = f"{base}_seg.{args.format}"
         if args.format == "npy":

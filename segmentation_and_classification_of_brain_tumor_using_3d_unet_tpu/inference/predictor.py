@@ -114,15 +114,36 @@ class Predictor:
             return self._sw(jnp.asarray(vol)), None
         return self._whole(self.seg_variables, jnp.asarray(vol)), None
 
+    def _probs_full(self, vol: np.ndarray, mode: str) -> np.ndarray:
+        """Canonical volume -> full-resolution class probabilities
+        (D, H, W, C) float32 (crop-mode windows pasted back; outside
+        the window is exact-zero air: background with certainty)."""
+        logits, plan = self._segment_logits(vol, mode)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1), np.float32)
+        if plan is not None:
+            offs, full = plan
+            sl = tuple(slice(o, min(o + c, f)) for o, c, f in
+                       zip(offs, probs.shape[:3], full))
+            pasted = cropping.paste_full(probs, offs, full, fill=0.0)
+            outside = np.ones(tuple(full), bool)
+            outside[sl] = False
+            pasted[..., 0][outside] = 1.0
+            probs = pasted
+        return probs
+
     def segment_tumor(self, volume: np.ndarray,
-                      mode: str = "sliding_window") -> np.ndarray:
+                      mode: str = "sliding_window",
+                      tta: bool = False) -> np.ndarray:
         """Volume (D,H,W) or (D,H,W,C) -> int8 label map at input res.
 
         Modes: ``sliding_window`` (full-res Gaussian blend),
         ``cropped`` (nonzero-bbox crop, then sliding window — nnU-Net's
         production pipeline; requires skull-stripped zero background),
         ``whole_volume`` (reference semantics, ``main.py:382-398``).
+        ``tta`` averages probabilities over the 8 mirror flips.
         """
+        if tta:
+            return self.segment_with_confidence(volume, mode, tta=True)[0]
         vol = self._canon(volume)
         logits, plan = self._segment_logits(vol, mode)
         labels = np.asarray(jnp.argmax(logits, axis=-1), np.int8)
@@ -131,14 +152,34 @@ class Predictor:
         return labels
 
     def segment_with_confidence(self, volume: np.ndarray,
-                                mode: str = "sliding_window"
+                                mode: str = "sliding_window",
+                                tta: bool = False
                                 ) -> Tuple[np.ndarray, np.ndarray]:
         """(labels int8, per-voxel max-softmax confidence float32).
 
         In ``cropped`` mode, voxels outside the foreground window are
         background with confidence 1.0 (they are exactly-zero air by
-        construction)."""
+        construction). ``tta`` enables mirror test-time augmentation:
+        probabilities averaged over all 8 D/H/W flip combinations
+        (nnU-Net practice; ~8x inference cost, flip-equivariant
+        output). Flipped volumes keep the input shape, so every flip
+        reuses the already-compiled program. No reference counterpart
+        (the reference has no TTA)."""
         vol = self._canon(volume)
+        if tta:
+            import itertools
+            acc: Optional[np.ndarray] = None
+            for r in range(4):
+                for axes in itertools.combinations((0, 1, 2), r):
+                    v = (np.ascontiguousarray(np.flip(vol, axis=axes))
+                         if axes else vol)
+                    p = self._probs_full(v, mode)
+                    if axes:
+                        p = np.flip(p, axis=axes)
+                    acc = p if acc is None else acc + p
+            probs = acc / 8.0
+            return (np.argmax(probs, axis=-1).astype(np.int8),
+                    np.max(probs, axis=-1).astype(np.float32))
         logits, plan = self._segment_logits(vol, mode)
         probs = jax.nn.softmax(logits, axis=-1)
         labels = np.asarray(jnp.argmax(probs, axis=-1), np.int8)

@@ -276,7 +276,8 @@ class BrainTumorApp:
                 mark("preprocess")
                 predictor = self._get_predictor()
                 seg, conf = predictor.segment_with_confidence(
-                    vol, mode=mode)
+                    vol, mode=mode,
+                    tta=getattr(self.config.inference, "tta", False))
                 mark("segment")
                 cls_name, cls_conf = predictor.classify_tumor(vol, seg)
                 grade_pred = predictor.classify_grade(vol)

@@ -108,6 +108,30 @@ def test_predictor_segment_modes(tiny_predictor, rng):
     assert set(np.unique(seg_sw)) <= {0, 1, 2, 3}
 
 
+def test_predictor_tta_flip_equivariant(tiny_predictor, rng):
+    """Mirror TTA averages over the full flip group, so its output is
+    exactly equivariant: tta(flip(v)) == flip(tta(v)). Single-pass
+    inference does NOT have this property — it is the point of TTA."""
+    vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
+    lab, conf = tiny_predictor.segment_with_confidence(
+        vol, mode="whole_volume", tta=True)
+    lab_f, conf_f = tiny_predictor.segment_with_confidence(
+        np.ascontiguousarray(np.flip(vol, axis=0)),
+        mode="whole_volume", tta=True)
+    np.testing.assert_allclose(np.flip(conf_f, axis=0), conf,
+                               atol=1e-5)
+    assert lab.shape == (16, 16, 16) and lab.dtype == np.int8
+    assert conf.min() >= 0.0 and conf.max() <= 1.0
+
+
+def test_predictor_tta_sliding_window(tiny_predictor, rng):
+    vol = rng.normal(size=(20, 20, 20)).astype(np.float32)
+    lab = tiny_predictor.segment_tumor(vol, mode="sliding_window",
+                                       tta=True)
+    assert lab.shape == (20, 20, 20)
+    assert set(np.unique(lab)) <= {0, 1, 2, 3}
+
+
 def test_predictor_classify(tiny_predictor, rng):
     vol = rng.normal(size=(16, 16, 16)).astype(np.float32)
     name, conf = tiny_predictor.classify_tumor(vol)
