@@ -70,6 +70,7 @@ class Predictor:
             overlap=ic.overlap, sw_batch_size=ic.sw_batch_size,
             blend_mode=ic.blend_mode, sigma_scale=ic.gaussian_sigma_scale)
         self._whole = jax.jit(self._whole_volume_logits)
+        self._whole_tta = jax.jit(self._whole_volume_tta_probs)
         self._classify = jax.jit(self._classify_logits)
 
     # -------------------- segmentation --------------------
@@ -87,6 +88,28 @@ class Predictor:
         out = self.seg_model.apply(variables, x, train=False)
         logits = out["logits"]
         return resize_trilinear(logits, volume.shape[:3])[0]
+
+    _FLIP_COMBOS = ((), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2),
+                    (0, 1, 2))
+
+    def _whole_volume_tta_probs(self, variables, volume: Array) -> Array:
+        """Whole-volume mirror TTA as ONE jitted program: the 8 flipped
+        copies are built on device and batched through a single B=8
+        forward (full MXU batch instead of 8 host round-trips), then
+        un-flipped and averaged. Returns (D, H, W, C) probabilities."""
+        size = self.config.data.image_size
+        axmap = tuple(tuple(a + 1 for a in ax) for ax in
+                      self._FLIP_COMBOS)   # batch dim offset
+        vols = jnp.concatenate(
+            [jnp.flip(volume[None], ax) if ax else volume[None]
+             for ax in axmap], axis=0)
+        x = resize_trilinear(vols, size)
+        out = self.seg_model.apply(variables, x, train=False)
+        logits = resize_trilinear(out["logits"], volume.shape[:3])
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        back = [jnp.flip(probs[i:i + 1], ax) if ax else probs[i:i + 1]
+                for i, ax in enumerate(axmap)]
+        return jnp.mean(jnp.concatenate(back, axis=0), axis=0)
 
     def _canon(self, volume: np.ndarray) -> np.ndarray:
         """(D,H,W[,C]) host array -> (D,H,W,in_channels) float32."""
@@ -167,17 +190,20 @@ class Predictor:
         (the reference has no TTA)."""
         vol = self._canon(volume)
         if tta:
-            import itertools
-            acc: Optional[np.ndarray] = None
-            for r in range(4):
-                for axes in itertools.combinations((0, 1, 2), r):
+            if mode == "whole_volume":
+                # one jitted B=8 program, flips built on device
+                probs = np.asarray(self._whole_tta(
+                    self.seg_variables, jnp.asarray(vol)), np.float32)
+            else:
+                acc: Optional[np.ndarray] = None
+                for axes in self._FLIP_COMBOS:
                     v = (np.ascontiguousarray(np.flip(vol, axis=axes))
                          if axes else vol)
                     p = self._probs_full(v, mode)
                     if axes:
                         p = np.flip(p, axis=axes)
                     acc = p if acc is None else acc + p
-            probs = acc / 8.0
+                probs = acc / 8.0
             return (np.argmax(probs, axis=-1).astype(np.int8),
                     np.max(probs, axis=-1).astype(np.float32))
         logits, plan = self._segment_logits(vol, mode)
