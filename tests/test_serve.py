@@ -142,6 +142,42 @@ def test_upload_real_inference(app, tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_upload_with_tta_config(tmp_path_factory, rng):
+    """InferenceConfig.tta gates mirror TTA on the upload path."""
+    import dataclasses
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import Config
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import Predictor
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, features=(8, 16),
+                                  in_channels=1,
+                                  compute_dtype="float32", remat=False),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)),
+        inference=dataclasses.replace(cfg.inference,
+                                      roi_size=(16, 16, 16),
+                                      upload_mode="whole_volume",
+                                      tta=True),
+        data_dir=str(tmp_path_factory.mktemp("dataroot_tta")))
+    tta_app = BrainTumorApp(
+        cfg, upload_dir=str(tmp_path_factory.mktemp("uploads_tta")),
+        predictor=Predictor(cfg))
+    vol = rng.normal(0.5, 0.2, (16, 16, 16)).astype(np.float32)
+    import io as _io
+    buf = _io.BytesIO()
+    np.save(buf, vol)
+    boundary = "B11"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="tta.npy"\r\n\r\n').encode() + buf.getvalue() + (
+        f"\r\n--{boundary}--\r\n").encode()
+    status, _, payload = tta_app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert j["success"] and j["degraded_mode"] is False
+
+
+@pytest.mark.slow
 def test_upload_native_resolution_sliding_window(app, rng):
     """Uploads keep NATIVE resolution: a volume larger than the model
     size goes through the foreground-cropped Gaussian sliding-window
