@@ -105,6 +105,10 @@ class AugmentConfig:
     noise_sigma_max: float = 0.1
     intensity_prob: float = 0.5
     intensity_range: Tuple[float, float] = (0.9, 1.1)
+    # gamma-curve augmentation (nnU-Net practice, beyond the reference's
+    # set): x -> x^gamma on a per-volume min/max-normalized copy
+    gamma_prob: float = 0.15
+    gamma_range: Tuple[float, float] = (0.7, 1.5)
 
 
 @dataclass(frozen=True)

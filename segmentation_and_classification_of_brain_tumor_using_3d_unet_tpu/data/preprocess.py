@@ -76,8 +76,8 @@ def augment_pair(key: jax.Array, image: Array, seg: Array,
     ``training.py:148-172``). Fully traceable: branching via lax.switch /
     jnp.where on traced bernoulli draws.
     """
-    k_rot, k_rotk, k_flip, k_noise_p, k_noise_s, k_noise, k_int_p, k_int = (
-        jax.random.split(key, 8))
+    (k_rot, k_rotk, k_flip, k_noise_p, k_noise_s, k_noise, k_int_p,
+     k_int, k_gam_p, k_gam) = jax.random.split(key, 10)
 
     # --- random rot90 in the (H, W) plane, k in {1,2,3} ---
     do_rot = jax.random.bernoulli(k_rot, cfg.rot90_prob)
@@ -113,6 +113,21 @@ def augment_pair(key: jax.Array, image: Array, seg: Array,
     scale = jax.random.uniform(k_int, (), minval=cfg.intensity_range[0],
                                maxval=cfg.intensity_range[1])
     image = jnp.where(do_int, image * scale, image)
+
+    # --- gamma curve ~ U(lo, hi) on a min/max-normalized copy ---
+    # (nnU-Net practice; monotone per-volume contrast warp that keeps
+    # the value range — beyond the reference's augmentation set)
+    gp = getattr(cfg, "gamma_prob", 0.0)
+    if gp > 0.0:
+        do_gam = jax.random.bernoulli(k_gam_p, gp)
+        gamma = jax.random.uniform(
+            k_gam, (), minval=cfg.gamma_range[0],
+            maxval=cfg.gamma_range[1])
+        mn = jnp.min(image)
+        mx = jnp.max(image)
+        unit = (image - mn) / (mx - mn + 1e-8)
+        warped = unit ** gamma * (mx - mn) + mn
+        image = jnp.where(do_gam, warped, image)
 
     return image, seg
 

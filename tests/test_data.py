@@ -141,6 +141,36 @@ def test_preprocess_batch_augment_deterministic(rng):
                               np.asarray(b3["image"]))
 
 
+def test_gamma_augmentation(rng):
+    """Gamma warp: monotone per-volume contrast change that preserves
+    the value range and never touches the segmentation."""
+    import dataclasses
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+        AugmentConfig)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.preprocess import (
+        augment_pair)
+    img = jnp.asarray(rng.normal(size=(8, 8, 8, 2)).astype(np.float32))
+    seg = jnp.asarray(rng.integers(0, 4, size=(8, 8, 8)).astype(np.int32))
+    only_gamma = AugmentConfig(rot90_prob=0.0, flip_prob=0.0,
+                               noise_prob=0.0, intensity_prob=0.0,
+                               gamma_prob=1.0)
+    out, seg_out = augment_pair(jax.random.PRNGKey(3), img, seg,
+                                only_gamma)
+    np.testing.assert_array_equal(np.asarray(seg_out), np.asarray(seg))
+    a, b = np.asarray(img), np.asarray(out)
+    assert not np.array_equal(a, b)
+    np.testing.assert_allclose(b.min(), a.min(), atol=1e-4)
+    np.testing.assert_allclose(b.max(), a.max(), atol=1e-4)
+    # monotone: ordering of voxel intensities is preserved
+    flat_a, flat_b = a.ravel(), b.ravel()
+    order = np.argsort(flat_a)
+    assert (np.diff(flat_b[order]) >= -1e-6).all()
+    # prob 0 => identity
+    off = dataclasses.replace(only_gamma, gamma_prob=0.0)
+    out2, _ = augment_pair(jax.random.PRNGKey(3), img, seg, off)
+    np.testing.assert_array_equal(np.asarray(out2), a)
+
+
 # ---------------- loaders ----------------
 
 def test_device_data_loader_e2e(tmp_path):
