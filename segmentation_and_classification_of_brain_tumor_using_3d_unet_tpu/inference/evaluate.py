@@ -151,6 +151,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default="",
                    help="evaluation JSON path "
                         "(default <pred>/evaluation.json)")
+    p.add_argument("--csv", default="",
+                   help="also write a per-case CSV table (one row per "
+                        "case, one column per metric)")
     p.add_argument("--num_classes", type=int, default=4)
     p.add_argument("--spacing", type=float, nargs=3,
                    default=(1.0, 1.0, 1.0),
@@ -184,6 +187,16 @@ def evaluate_main(argv: Optional[Sequence[str]] = None) -> Dict:
     with open(out, "w") as f:
         json.dump(result, f, indent=1, default=float)
     logger.info("wrote %s", out)
+
+    if args.csv:
+        import csv
+        cols = sorted({k for m in cases.values() for k in m})
+        with open(args.csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["case_id"] + cols)
+            for cid, m in cases.items():
+                w.writerow([cid] + [m.get(k, "") for k in cols])
+        logger.info("wrote %s", args.csv)
 
     print(f"{'metric':<16}{'mean':>9}{'std':>9}{'n':>5}{'excl':>6}")
     for k, a in agg.items():

@@ -99,12 +99,18 @@ def test_discover_pairs(cohort_with_preds):
 def test_evaluate_main_end_to_end(cohort_with_preds, capsys):
     gt_root, pred_dir = cohort_with_preds
     out = pred_dir / "eval.json"
+    csv_path = pred_dir / "eval.csv"
     result = evaluate_main(["--pred", str(pred_dir),
                             "--gt", str(gt_root),
-                            "--output", str(out)])
+                            "--output", str(out),
+                            "--csv", str(csv_path)])
     assert result["n_cases"] == 2
     assert result["cases"]["case_a"]["dice_c1"] == pytest.approx(1.0)
     assert result["cases"]["case_b"]["dice_c1"] < 1.0
     on_disk = json.load(open(out))
     assert on_disk["aggregate"]["dice_WT"]["n"] == 2
     assert "dice_WT" in capsys.readouterr().out
+    import csv as _csv
+    rows = list(_csv.reader(open(csv_path)))
+    assert rows[0][0] == "case_id" and "dice_WT" in rows[0]
+    assert [r[0] for r in rows[1:]] == ["case_a", "case_b"]
