@@ -128,9 +128,8 @@ def main():
     cropping = import_module(pkg + ".inference.cropping")
     UNet3D = import_module(pkg + ".models").UNet3D
 
-    # s2d defaults OFF until the real-chip A/B lands (the attach was
-    # down when the formulation merged); --s2d/--no_s2d run the A/B.
-    # Flip the default only with a measured win in benchmarks/RESULTS.md.
+    # s2d measured and loses on this libtpu (8.42 vs 10.78 vol/s —
+    # benchmarks/RESULTS.md s2d section); default stays OFF.
     use_s2d = False if args.s2d is None else args.s2d
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False,
                    s2d_eval=use_s2d)

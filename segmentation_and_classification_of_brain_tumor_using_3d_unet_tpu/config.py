@@ -49,7 +49,11 @@ class ModelConfig:
     remat: bool = True                # jax.checkpoint on DoubleConv blocks
     use_pallas: bool = True           # fused Pallas group-norm kernels
     # eval-only space-to-depth level 0 (ops/s2d.py): full-lane conv2d
-    # for the N<=32 extremity blocks; exact and checkpoint-compatible
+    # for the N<=32 extremity blocks; exact and checkpoint-compatible.
+    # MEASURED AND LOSES on this libtpu (real-chip A/B 2026-08-18:
+    # headline 8.42 vs 10.78 vol/s, tiled 4.54 vs 5.53, train 307.5 vs
+    # 247.2 ms/step — benchmarks/RESULTS.md s2d section). Defaults stay
+    # False; kept because it is exact and may win on other platforms.
     s2d_eval: bool = False
     # same for training steps (fwd + bwd)
     s2d_train: bool = False

@@ -96,7 +96,13 @@ def _pack_indices(ci: int, co: int):
                     + ar_ci * co + ar_co)
             idx[kh2, kw2, rows, cols] = flat
             valid[kh2, kw2, rows, cols] = True
-    return jnp.asarray(idx), jnp.asarray(valid)
+    # Return NUMPY arrays: converting to jnp here would capture a
+    # DynamicJaxprTracer when first called under a trace (jnp constants
+    # are trace-scoped), and the lru_cache would leak it into every
+    # later trace (UnexpectedTracerError on the real-chip bench, where
+    # jit(model.init) populates the cache before jit(run_batch) reads
+    # it). NumPy indices are trace-independent and fine to cache.
+    return idx, valid
 
 
 def pack_w_s2d(w: jax.Array) -> jax.Array:

@@ -195,3 +195,25 @@ def test_conv_transpose_s2d_out_matches():
     out = s2d.conv_transpose3d_k2s2_s2d_out(x, w, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pack_indices_cache_is_trace_safe():
+    """The _pack_indices lru_cache must hold trace-independent (numpy)
+    values: if the first call happens under one jit trace (e.g. the
+    bench's jit(model.init)), a cached jnp constant would be a leaked
+    DynamicJaxprTracer and every later trace that packs the same
+    (ci, co) kernel would die with UnexpectedTracerError."""
+    ci, co = 5, 7
+    s2d._pack_indices.cache_clear()
+    w = _rand(KEY, (3, 3, 3, ci, co))
+
+    # populate the cache inside a trace ...
+    jax.make_jaxpr(s2d.pack_w_s2d)(w)
+    idx, valid = s2d._pack_indices(ci, co)
+    assert isinstance(idx, np.ndarray) and isinstance(valid, np.ndarray)
+
+    # ... then use it from a different jit trace: must not leak
+    out = jax.jit(s2d.pack_w_s2d)(w)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(s2d.pack_w_s2d(w)),
+                               rtol=1e-6, atol=1e-6)
