@@ -169,6 +169,14 @@ class InferenceConfig:
     # to the next multiple of 16 (best per-volume throughput; what the
     # headline bench measures).
     crop_bucket_ladder: Tuple[int, ...] = (96, 128, 160, 192, 224, 256)
+    # startup compile policy for serving: "full" warms both the
+    # whole-volume (demo/reference-semantics) program and the
+    # upload_mode program; "upload" warms only what /upload will run
+    # (halves cold-start compile when upload_mode != "whole_volume");
+    # "off" compiles nothing ahead of time — the first request pays
+    # the XLA compile behind the predictor lock. With the persistent
+    # compilation cache warm this only matters on fresh cache dirs.
+    warmup: str = "full"
     # trained weights for serving: a trainer checkpoint dir or
     # params-only export. "" = auto-discover the newest compatible
     # ``best_*`` checkpoint under ``models_dir`` (so web/CLI training

@@ -462,14 +462,19 @@ def warmup_app(app, native_shape=(240, 240, 155)) -> None:
     (``main.py:330-354``). State is surfaced at ``/health``.
     """
     import numpy as _np
+    policy = getattr(app.config.inference, "warmup", "full")
+    if policy == "off":
+        app.warmup_state = "skipped"
+        return
     app.warmup_state = "running"
     try:
         pred = app._get_predictor()
         size = app.config.data.image_size
         zeros = _np.zeros(size, _np.float32)
-        pred.segment_with_confidence(zeros, mode="whole_volume")
-        pred.classify_tumor(zeros)           # classifier jit
         mode = app.config.inference.upload_mode
+        if policy == "full" or mode == "whole_volume":
+            pred.segment_with_confidence(zeros, mode="whole_volume")
+        pred.classify_tumor(zeros)           # classifier jit
         if mode != "whole_volume":
             # native-resolution path: warm on a skull-stripped-shaped
             # fixture so the crop bucket matches a typical BraTS brain
@@ -493,15 +498,17 @@ def warmup_app(app, native_shape=(240, 240, 155)) -> None:
 
 
 def main(host: str = "0.0.0.0", port: int = 5000,
-         warmup: bool = True):
+         warmup: bool = True, config: Optional[Config] = None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     from ..environment import ensure_compilation_cache
     ensure_compilation_cache()   # warm restarts skip the 30-150s compiles
-    server = create_server(host, port)
+    server = create_server(host, port, config=config)
     if warmup:
         threading.Thread(target=warmup_app, args=(server.app,),
                          daemon=True, name="warmup").start()
+    else:
+        server.app.warmup_state = "skipped"   # type: ignore[attr-defined]
     print("=" * 60)
     print("Brain Tumor Segmentation System (TPU-native)")
     print(f"Serving at http://{host}:{port}")
@@ -513,4 +520,21 @@ def main(host: str = "0.0.0.0", port: int = 5000,
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    _ap = argparse.ArgumentParser(description=__doc__)
+    _ap.add_argument("--host", default="0.0.0.0")
+    _ap.add_argument("--port", type=int, default=5000)
+    _ap.add_argument("--warmup", choices=("full", "upload", "off"),
+                     default=None,
+                     help="startup compile policy (InferenceConfig."
+                          "warmup): full = whole-volume + upload-mode "
+                          "programs, upload = only what /upload runs, "
+                          "off = compile lazily on first request")
+    _args = _ap.parse_args()
+    _cfg = None
+    if _args.warmup is not None:
+        from dataclasses import replace as _replace
+        _base = Config()
+        _cfg = _replace(_base, inference=_replace(
+            _base.inference, warmup=_args.warmup))
+    main(host=_args.host, port=_args.port, config=_cfg)

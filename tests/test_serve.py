@@ -538,3 +538,36 @@ def test_background_warmup_sets_state(app):
     assert app.warmup_state == "done"
     status, _, payload = _get(app, "/health")
     assert json.loads(payload)["warmup"] == "done"
+
+
+def test_warmup_policy_off_and_upload(app):
+    """InferenceConfig.warmup gates the startup compiles: "off" skips
+    everything (first request compiles lazily); "upload" warms only the
+    program /upload will run, not the whole-volume demo program."""
+    from dataclasses import replace
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve.app import (
+        warmup_app)
+
+    app.config = replace(app.config, inference=replace(
+        app.config.inference, warmup="off"))
+    app._get_predictor = None   # would raise if warmup touched it
+    warmup_app(app)
+    assert app.warmup_state == "skipped"
+
+    calls = []
+
+    class _Spy:
+        def segment_with_confidence(self, vol, mode):
+            calls.append(mode)
+            return None, None
+
+        def classify_tumor(self, vol):
+            calls.append("classify")
+            return "t", 0.5
+
+    app.config = replace(app.config, inference=replace(
+        app.config.inference, warmup="upload", upload_mode="cropped"))
+    app._get_predictor = lambda: _Spy()
+    warmup_app(app, native_shape=(16, 16, 12))
+    assert app.warmup_state == "done"
+    assert "whole_volume" not in calls and "cropped" in calls
