@@ -27,6 +27,21 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _arch_features(arch: str):
+    """Feature ladder for a web-training ``model_arch`` value.
+
+    Accepts this UI's values (attention_unet[_full], joint[_full]) AND
+    the reference form's option values — unet3d / lightweight /
+    enhanced (``templates/index.html:669-673``; the reference backend
+    ignored the field entirely, ``web_training.py:67``). "enhanced" and
+    "*_full" train the flagship 32..512 ladder; everything else gets
+    the compact 16..128 ladder for web responsiveness.
+    """
+    if arch.endswith("_full") or arch == "enhanced":
+        return (32, 64, 128, 256, 512)
+    return (16, 32, 64, 128)
+
+
 class TrainingJobManager:
     def __init__(self):
         self._lock = threading.RLock()
@@ -137,8 +152,7 @@ class TrainingJobManager:
 
         # web sessions train a compact variant for responsiveness unless
         # a full config is requested
-        feats = ((32, 64, 128, 256, 512) if arch.endswith("_full")
-                 else (16, 32, 64, 128))
+        feats = _arch_features(arch)
         img = tuple(config.get("image_size", (64, 64, 64)))
 
         self._log(sid, f"preparing data ({num_samples} synthetic samples)")

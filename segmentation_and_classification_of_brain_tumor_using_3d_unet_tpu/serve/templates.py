@@ -66,6 +66,10 @@ LR <input id="lr" value="0.0001" style="width:90px">
 Samples <input id="nsamp" type="number" value="8" style="width:70px">
 Arch <select id="arch"><option value="attention_unet">Attention U-Net
 </option><option value="attention_unet_full">Full (32..512)</option>
+<option value="unet3d">3D U-Net with Attention</option>
+<option value="lightweight">Lightweight U-Net</option>
+<option value="enhanced">Enhanced U-Net</option>
+<option value="joint">Joint seg+grade</option>
 </select>
 Mode <select id="mode"><option value="real">real</option>
 <option value="demo">demo</option></select>

@@ -571,3 +571,25 @@ def test_warmup_policy_off_and_upload(app):
     warmup_app(app, native_shape=(16, 16, 12))
     assert app.warmup_state == "done"
     assert "whole_volume" not in calls and "cropped" in calls
+
+
+def test_model_arch_accepts_reference_form_values():
+    """The reference UI's modelArch option values (unet3d / lightweight
+    / enhanced, templates/index.html:669-673) must resolve — the
+    reference backend silently ignored the field (web_training.py:67);
+    here it selects the feature ladder."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve.jobs import (
+        _arch_features)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve import (
+        templates)
+    compact, full = (16, 32, 64, 128), (32, 64, 128, 256, 512)
+    assert _arch_features("unet3d") == compact
+    assert _arch_features("lightweight") == compact
+    assert _arch_features("enhanced") == full
+    assert _arch_features("attention_unet") == compact
+    assert _arch_features("attention_unet_full") == full
+    assert _arch_features("joint") == compact
+    assert _arch_features("joint_full") == full
+    page = templates.index_page()
+    for v in ("unet3d", "lightweight", "enhanced", "joint"):
+        assert f'value="{v}"' in page, v
