@@ -208,6 +208,12 @@ class Config:
     # benchmarks/RESULTS.md). 1 = off. TPU addition; the reference has
     # no accumulation.
     grad_accum: int = 1
+    # exponential moving average of the parameters, updated inside the
+    # jitted train step (ema = d*ema + (1-d)*params). When > 0,
+    # validation / save-on-best / serving adoption all use the EMA
+    # weights (nnU-Net/production practice — smooths SGDR's restart
+    # noise). 0 = off. TPU addition; the reference has no EMA.
+    ema_decay: float = 0.0
     early_stopping_patience: int = 20
     val_interval: int = 1
     seed: int = 42

@@ -36,6 +36,8 @@ def save_checkpoint(path: str, state: TrainState,
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(os.path.join(path, "state")):
         import shutil
@@ -61,11 +63,28 @@ def restore_checkpoint(path: str, state: TrainState
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    want_ema = state.ema_params is not None
+    if want_ema:
+        target["ema_params"] = state.ema_params
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.join(path, "state"), target)
+    try:
+        restored = ckptr.restore(os.path.join(path, "state"), target)
+    except Exception:
+        if not want_ema:
+            raise
+        # pre-EMA checkpoint: restore without, seed EMA from the
+        # restored params (copied — the train step donates the state,
+        # and params+ema must not alias the same buffer)
+        del target["ema_params"]
+        restored = ckptr.restore(os.path.join(path, "state"), target)
+        import jax.numpy as jnp
+        import jax as _jax
+        restored["ema_params"] = _jax.tree_util.tree_map(
+            jnp.copy, restored["params"])
     state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"], step=restored["step"])
+        opt_state=restored["opt_state"], step=restored["step"],
+        ema_params=restored.get("ema_params", state.ema_params))
     meta: Dict[str, Any] = {"best_dice": 0.0, "epoch": 0,
                             "metrics_history": {}}
     meta_path = os.path.join(path, _META)
@@ -119,7 +138,12 @@ def load_inference_weights(path: str) -> Tuple[Any, Optional[Any]]:
     restore_args = jax.tree_util.tree_map(
         lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
     restored = ckptr.restore(path, restore_args=restore_args)
-    return restored["params"], restored.get("batch_stats")
+    # an EMA-trained checkpoint serves its EMA weights (they are what
+    # validation scored and save-on-best selected)
+    params = restored.get("ema_params")
+    if params is None:
+        params = restored["params"]
+    return params, restored.get("batch_stats")
 
 
 def adopt_trained_weights(predictor, checkpoint: str = "",

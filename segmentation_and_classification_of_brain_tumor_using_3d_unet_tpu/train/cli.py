@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches summed per optimizer update "
                         "(batch_size must divide evenly); large-batch "
                         "semantics at one microbatch's memory")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="parameter EMA decay (e.g. 0.999); validation, "
+                        "save-on-best and serving use the EMA weights. "
+                        "0 = off")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--data_dir", type=str, default="data/synthetic/BraTS2024")
     p.add_argument("--create_synthetic", action="store_true")
@@ -81,6 +85,7 @@ def train_main(argv: Optional[Sequence[str]] = None):
     cfg = get_config(args.preset)
     cfg = cfg.replace(epochs=args.epochs, batch_size=args.batch_size,
                       grad_accum=args.grad_accum,
+                      ema_decay=args.ema_decay,
                       use_wandb=args.use_wandb)
     if args.image_size:
         cfg = cfg.replace(

@@ -40,6 +40,23 @@ def make_loss_fn(config: Config) -> Callable:
     return loss_fn
 
 
+def _make_ema_update(config: Config) -> Callable:
+    """Parameter-EMA step applied after the optimizer update
+    (``Config.ema_decay``; identity when off). Runs inside the jitted
+    step — no extra dispatch, one fused multiply-add per leaf."""
+    decay = getattr(config, "ema_decay", 0.0)
+    if not decay:
+        return lambda new_state: new_state
+
+    def update(new_state: TrainState) -> TrainState:
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            new_state.ema_params, new_state.params)
+        return new_state.replace(ema_params=new_ema)
+
+    return update
+
+
 def make_train_step(config: Config, num_classes: int = 4,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
@@ -58,6 +75,7 @@ def make_train_step(config: Config, num_classes: int = 4,
     """
     loss_fn = make_loss_fn(config)
     accum = config.grad_accum if grad_accum is None else grad_accum
+    ema = _make_ema_update(config)
 
     def micro_grads(state, images, targets, key, bs_state):
         """One microbatch: (loss, grads, logits, new_batch_stats)."""
@@ -82,7 +100,8 @@ def make_train_step(config: Config, num_classes: int = 4,
         images, targets = batch["image"], batch["mask"]
         loss, grads, logits, new_bs = micro_grads(
             state, images, targets, key, state.batch_stats)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        new_state = ema(state.apply_gradients(grads=grads,
+                                              batch_stats=new_bs))
         metrics = {
             "loss": loss,
             "dice": mean_foreground_dice(logits, targets, num_classes),
@@ -117,7 +136,8 @@ def make_train_step(config: Config, num_classes: int = 4,
             body, (state.batch_stats, zeros, 0.0, 0.0),
             (im, tg, keys))
         grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        new_state = ema(state.apply_gradients(grads=grads,
+                                              batch_stats=new_bs))
         metrics = {"loss": lsum / accum, "dice": dsum / accum,
                    "grad_norm": grad_norm(grads)}
         return new_state, metrics
@@ -148,6 +168,7 @@ def make_joint_train_step(config: Config, num_classes: int = 4,
     """
     from ..models.joint import grade_from_volume, joint_loss
     seg_loss_fn = make_loss_fn(config)
+    ema = _make_ema_update(config)
 
     def step(state: TrainState, batch: Dict[str, jax.Array],
              key: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -171,7 +192,8 @@ def make_joint_train_step(config: Config, num_classes: int = 4,
 
         (loss, (new_bs, out, parts)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        new_state = ema(state.apply_gradients(grads=grads,
+                                              batch_stats=new_bs))
         grade_acc = jnp.mean(
             (jnp.argmax(out["grade_logits"], -1) == grades
              ).astype(jnp.float32))

@@ -25,9 +25,20 @@ from ..config import Config, OptimizerConfig
 
 class TrainState(train_state.TrainState):
     """flax TrainState + BatchNorm running stats (head BN,
-    reference ``main.py:131``)."""
+    reference ``main.py:131``) + optional parameter EMA
+    (``Config.ema_decay``; None when disabled)."""
 
     batch_stats: Any = None
+    ema_params: Any = None
+
+
+def ema_eval_state(state: TrainState) -> TrainState:
+    """Evaluation view of a state: EMA weights when tracked, the live
+    params otherwise. batch_stats stay live (they are already running
+    averages)."""
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)
 
 
 def cosine_warm_restarts(base_lr: float, t_0: int, t_mult: int,
@@ -91,6 +102,11 @@ def create_train_state(model, config: Config, rng: jax.Array,
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
+        # distinct buffers, not an alias: the train step donates the
+        # state, and donating the same buffer twice (params + ema) is
+        # an XLA error
+        ema_params=(jax.tree_util.tree_map(jnp.copy, variables["params"])
+                    if getattr(config, "ema_decay", 0.0) > 0 else None),
         tx=tx,
     )
 

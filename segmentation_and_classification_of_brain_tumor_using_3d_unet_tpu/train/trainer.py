@@ -37,7 +37,8 @@ from ..config import Config
 from ..metrics import hausdorff_distance, mean_foreground_dice
 from . import checkpoints
 from .loop import make_eval_step, make_train_step
-from .state import TrainState, create_train_state, current_lr
+from .state import (TrainState, create_train_state, current_lr,
+                    ema_eval_state)
 
 logger = logging.getLogger(__name__)
 
@@ -177,7 +178,9 @@ class ModernBrainTumorTrainer:
         for batch in val_loader:
             self._ensure_state(batch, n)
             step = self._eval_step_hd if compute_hd else self._eval_step
-            m = step(self.state, batch)
+            # EMA weights (when tracked) are what we validate, save on
+            # best, and serve — the live params keep training
+            m = step(ema_eval_state(self.state), batch)
             losses.append(m["loss"])
             dices.append(m["dice"])
             for name in regions:

@@ -302,3 +302,98 @@ def test_tracking_degrades_without_sinks(tmp_path, monkeypatch):
     # logging with no sinks is a no-op, not an error
     tr.log_metrics({"loss": 1.0, "dice": 0.0},
                    {"loss": 1.0, "dice": 0.0}, epoch=0, lr=1e-4)
+
+
+def test_ema_update_and_eval_state(brats_dir):
+    """Config.ema_decay tracks ema = d*ema + (1-d)*params inside the
+    jitted step (seeded at init with the init params); ema_eval_state
+    swaps the EMA weights in for validation."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.state import (
+        ema_eval_state)
+
+    cfg = tiny_config().replace(ema_decay=0.9)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    train_loader, _ = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    batch = next(iter(train_loader))
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    assert state.ema_params is not None
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    step = make_train_step(cfg, donate=False)
+
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    want = jax.tree_util.tree_map(
+        lambda e, p: 0.9 * e + 0.1 * np.asarray(p), p0, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-5,
+                                   atol=1e-7)
+    # the EMA lags the live params after an update
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state.ema_params)))
+
+    view = ema_eval_state(state)
+    for a, b in zip(jax.tree_util.tree_leaves(view.params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        assert a is b
+    # disabled -> identity
+    off = create_train_state(model, tiny_config(), jax.random.PRNGKey(0),
+                             (1, *IMG, 4), steps_per_epoch=2)
+    assert off.ema_params is None and ema_eval_state(off) is off
+
+
+def test_ema_checkpoint_roundtrip_and_serving_prefers_ema(tmp_path):
+    """EMA params persist through save/restore; load_inference_weights
+    (the serving/CLI adoption path) returns the EMA weights when
+    present — they are what validation scored."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.checkpoints import (
+        load_inference_weights)
+
+    cfg = tiny_config().replace(ema_decay=0.5)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    # make ema distinguishable from params
+    state = state.replace(ema_params=jax.tree_util.tree_map(
+        lambda p: p + 1.0, state.params))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, best_dice=0.5, epoch=3)
+
+    fresh = create_train_state(model, cfg, jax.random.PRNGKey(1),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    restored, meta = restore_checkpoint(path, fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0,
+                                   rtol=1e-6)
+
+    params, _ = load_inference_weights(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6)
+
+
+def test_pre_ema_checkpoint_resumes_into_ema_config(tmp_path):
+    """A checkpoint written without EMA restores into an EMA-enabled
+    config (EMA seeded from the restored params) — forward-compatible
+    resume."""
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    plain = create_train_state(model, tiny_config(), jax.random.PRNGKey(0),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, plain, best_dice=0.1, epoch=1)
+
+    ema_cfg = tiny_config().replace(ema_decay=0.9)
+    fresh = create_train_state(model, ema_cfg, jax.random.PRNGKey(1),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    restored, _ = restore_checkpoint(path, fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
