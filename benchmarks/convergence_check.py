@@ -23,6 +23,9 @@ def main():
                     default=(16, 32, 64, 128))
     ap.add_argument("--no_deep_sup", action="store_true")
     ap.add_argument("--deep_full_res", action="store_true")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="parameter-EMA decay; validation scores the "
+                         "EMA weights (Config.ema_decay)")
     args = ap.parse_args()
 
     import dataclasses
@@ -46,7 +49,7 @@ def main():
                                       scheduler="constant"),
         # a tiny-cohort learning check needs its full step budget
         early_stopping_patience=10_000,
-        use_tensorboard=False, batch_size=2)
+        use_tensorboard=False, batch_size=2, ema_decay=args.ema)
     if args.no_deep_sup:
         cfg = cfg.replace(loss=dataclasses.replace(
             cfg.loss, use_deep_supervision=False))

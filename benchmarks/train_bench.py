@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="microbatches per optimizer update (--batch "
                          "is the full effective batch)")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="parameter-EMA decay (Config.ema_decay); "
+                         "measures the EMA update's in-step cost")
     ap.add_argument("--sustained", action="store_true",
                     help="chain steps inside one jit (lax.scan) with a "
                          "single readback — device throughput without "
@@ -46,7 +49,7 @@ def main():
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
         create_train_state, make_train_step)
 
-    cfg = Config(grad_accum=args.grad_accum)
+    cfg = Config(grad_accum=args.grad_accum, ema_decay=args.ema)
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16,
                    remat=not args.no_remat, s2d_train=args.s2d)
     size = tuple(args.size)

@@ -139,7 +139,8 @@ class TrainingJobManager:
         from ..train import checkpoints as ckpt_mod
         from ..train.loop import (make_eval_step, make_joint_train_step,
                                   make_train_step)
-        from ..train.state import create_train_state, current_lr
+        from ..train.state import (create_train_state, current_lr,
+                                   ema_eval_state)
 
         stop = self._stop_flags[sid]
         epochs = int(config.get("epochs", 10))
@@ -165,7 +166,9 @@ class TrainingJobManager:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, features=feats),
             data=dataclasses.replace(cfg.data, image_size=img),
-            batch_size=batch_size, use_tensorboard=False)
+            batch_size=batch_size, use_tensorboard=False,
+            ema_decay=float(config.get("ema_decay", 0.0)),
+            grad_accum=max(int(config.get("grad_accum", 1)), 1))
 
         train_loader, val_loader = create_brats_data_loaders(
             data_dir, batch_size=batch_size, num_workers=2,
@@ -207,7 +210,9 @@ class TrainingJobManager:
                 tl.append(m["loss"]); td.append(m["dice"])
             vl, vd = [], []
             for batch in val_loader:
-                m = estep(state, batch)
+                # EMA weights (when tracked) are what we validate and
+                # save on best — same policy as the CLI trainer
+                m = estep(ema_eval_state(state), batch)
                 vl.append(m["loss"]); vd.append(m["dice"])
             train_loss = float(jnp.mean(jnp.stack(tl))) if tl else 0.0
             val_loss = float(jnp.mean(jnp.stack(vl))) if vl else 0.0

@@ -282,7 +282,8 @@ def documentation_page() -> str:
 (classification, measurements, quality metrics, clinical notes,
 visualizations)</td></tr>
 <tr><th>POST /start_training</th><td>JSON {{epochs, batch_size,
-learning_rate, num_samples, model_arch, mode}} -> {{session_id}}</td></tr>
+learning_rate, num_samples, model_arch, mode, ema_decay?,
+grad_accum?}} -> {{session_id}}</td></tr>
 <tr><th>GET /training_progress?session_id=</th>
 <td>status/epoch/losses/dice/logs</td></tr>
 <tr><th>POST /stop_training</th><td>JSON {{session_id}} -> ack
