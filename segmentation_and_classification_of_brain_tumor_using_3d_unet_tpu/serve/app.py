@@ -463,6 +463,14 @@ def warmup_app(app, native_shape=(240, 240, 155)) -> None:
     """
     import numpy as _np
     policy = getattr(app.config.inference, "warmup", "full")
+    if policy not in ("full", "upload", "off"):
+        # a typo'd policy must not silently degrade to lazier warmup —
+        # the operator would discover it as a 30-150s cold compile on
+        # the first request they believed was pre-warmed
+        app.warmup_state = (f"failed: unknown warmup policy "
+                            f"{policy!r} (use full|upload|off)")
+        logger.warning("%s", app.warmup_state)
+        return
     if policy == "off":
         app.warmup_state = "skipped"
         return

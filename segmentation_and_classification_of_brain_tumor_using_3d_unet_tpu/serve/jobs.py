@@ -167,8 +167,11 @@ class TrainingJobManager:
             model=dataclasses.replace(cfg.model, features=feats),
             data=dataclasses.replace(cfg.data, image_size=img),
             batch_size=batch_size, use_tensorboard=False,
-            ema_decay=float(config.get("ema_decay", 0.0)),
-            grad_accum=max(int(config.get("grad_accum", 1)), 1))
+            # null-safe: the UI may post ema_decay: null; range is
+            # validated by the trainer (_valid_ema_decay) and surfaces
+            # as a session error message
+            ema_decay=float(config.get("ema_decay") or 0.0),
+            grad_accum=max(int(config.get("grad_accum") or 1), 1))
 
         train_loader, val_loader = create_brats_data_loaders(
             data_dir, batch_size=batch_size, num_workers=2,
@@ -179,6 +182,12 @@ class TrainingJobManager:
         self._log(sid, f"compiling train step (arch={arch}, "
                        f"features={feats}, image={img})")
         if arch.startswith("joint"):
+            if cfg.grad_accum > 1:
+                # the joint step has no accumulation path; failing fast
+                # beats silently training without the memory relief the
+                # caller asked for
+                raise ValueError("grad_accum > 1 is not supported for "
+                                 "the joint arch")
             # seg trunk + grade head trained jointly (BASELINE config 4);
             # serving adopts the nested "unet" subtree of its checkpoint
             from ..models.joint import UNet3DWithClassifier

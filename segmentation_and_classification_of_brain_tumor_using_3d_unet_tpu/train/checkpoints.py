@@ -53,10 +53,26 @@ def save_checkpoint(path: str, state: TrainState,
     return path
 
 
+def _saved_tree_keys(state_dir: str):
+    """Top-level keys of an on-disk checkpoint pytree (for deciding
+    whether it carries ``ema_params`` before building a restore
+    target — orbax refuses structure mismatches in either direction)."""
+    meta = ocp.PyTreeCheckpointer().metadata(state_dir)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = tree.tree if hasattr(tree, "tree") else tree
+    return set(tree) if isinstance(tree, dict) else set()
+
+
 def restore_checkpoint(path: str, state: TrainState
                        ) -> Tuple[TrainState, Dict[str, Any]]:
-    """Restore into the structure of ``state``; returns (state, meta)."""
+    """Restore into the structure of ``state``; returns (state, meta).
+
+    EMA compatibility is symmetric: a pre-EMA checkpoint restoring into
+    an EMA config seeds the EMA from the restored params, and an
+    EMA-trained checkpoint restoring into a non-EMA config drops the
+    saved EMA (the live params continue training)."""
     path = _ckpt_dir(path)
+    state_dir = os.path.join(path, "state")
     target = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -64,27 +80,28 @@ def restore_checkpoint(path: str, state: TrainState
         "step": state.step,
     }
     want_ema = state.ema_params is not None
-    if want_ema:
-        target["ema_params"] = state.ema_params
+    saved_keys = _saved_tree_keys(state_dir)
+    has_ema = "ema_params" in saved_keys if saved_keys else want_ema
+    if has_ema:
+        # target must match disk; a non-EMA config restores the saved
+        # EMA into params-shaped buffers and then discards it below
+        target["ema_params"] = (state.ema_params if want_ema
+                                else state.params)
     ckptr = ocp.StandardCheckpointer()
-    try:
-        restored = ckptr.restore(os.path.join(path, "state"), target)
-    except Exception:
-        if not want_ema:
-            raise
-        # pre-EMA checkpoint: restore without, seed EMA from the
-        # restored params (copied — the train step donates the state,
-        # and params+ema must not alias the same buffer)
-        del target["ema_params"]
-        restored = ckptr.restore(os.path.join(path, "state"), target)
-        import jax.numpy as jnp
+    restored = ckptr.restore(state_dir, target)
+    if want_ema and not has_ema:
+        # pre-EMA checkpoint: seed EMA from the restored params
+        # (copied — the train step donates the state, and params+ema
+        # must not alias the same buffer)
         import jax as _jax
+        import jax.numpy as jnp
         restored["ema_params"] = _jax.tree_util.tree_map(
             jnp.copy, restored["params"])
     state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"], step=restored["step"],
-        ema_params=restored.get("ema_params", state.ema_params))
+        ema_params=(restored.get("ema_params", state.ema_params)
+                    if want_ema else None))
     meta: Dict[str, Any] = {"best_dice": 0.0, "epoch": 0,
                             "metrics_history": {}}
     meta_path = os.path.join(path, _META)

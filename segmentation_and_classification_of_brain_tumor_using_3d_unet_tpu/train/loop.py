@@ -40,12 +40,25 @@ def make_loss_fn(config: Config) -> Callable:
     return loss_fn
 
 
+def _valid_ema_decay(decay: float) -> float:
+    """0 = off; otherwise must lie strictly in (0, 1): a negative value
+    desyncs from create_train_state's ``> 0`` seeding (pytree mismatch
+    on the first step) and decay >= 1 silently freezes the EMA at the
+    init weights — validation, save-on-best, and serving would score
+    the random init while training appears to run."""
+    decay = float(decay)
+    if decay != 0.0 and not (0.0 < decay < 1.0):
+        raise ValueError(f"ema_decay must be 0 (off) or in (0, 1); "
+                         f"got {decay}")
+    return decay
+
+
 def _make_ema_update(config: Config) -> Callable:
     """Parameter-EMA step applied after the optimizer update
     (``Config.ema_decay``; identity when off). Runs inside the jitted
     step — no extra dispatch, one fused multiply-add per leaf."""
-    decay = getattr(config, "ema_decay", 0.0)
-    if not decay:
+    decay = _valid_ema_decay(getattr(config, "ema_decay", 0.0))
+    if decay == 0.0:
         return lambda new_state: new_state
 
     def update(new_state: TrainState) -> TrainState:

@@ -98,6 +98,8 @@ def create_train_state(model, config: Config, rng: jax.Array,
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, x, train=False)
     tx = build_optimizer(config.optimizer, steps_per_epoch, learning_rate)
+    from .loop import _valid_ema_decay
+    _valid_ema_decay(getattr(config, "ema_decay", 0.0))
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

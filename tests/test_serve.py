@@ -543,34 +543,47 @@ def test_background_warmup_sets_state(app):
 def test_warmup_policy_off_and_upload(app):
     """InferenceConfig.warmup gates the startup compiles: "off" skips
     everything (first request compiles lazily); "upload" warms only the
-    program /upload will run, not the whole-volume demo program."""
+    program /upload will run, not the whole-volume demo program; an
+    unknown policy fails loudly instead of silently lazier warmup.
+
+    The module-scoped fixture is restored afterwards — later tests must
+    see the real config/predictor, not this test's spy."""
     from dataclasses import replace
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.serve.app import (
         warmup_app)
 
-    app.config = replace(app.config, inference=replace(
-        app.config.inference, warmup="off"))
-    app._get_predictor = None   # would raise if warmup touched it
-    warmup_app(app)
-    assert app.warmup_state == "skipped"
+    saved = (app.config, app._get_predictor, app.warmup_state)
+    try:
+        app.config = replace(app.config, inference=replace(
+            app.config.inference, warmup="off"))
+        app._get_predictor = None   # would raise if warmup touched it
+        warmup_app(app)
+        assert app.warmup_state == "skipped"
 
-    calls = []
+        app.config = replace(app.config, inference=replace(
+            app.config.inference, warmup="Full"))   # typo'd policy
+        warmup_app(app)
+        assert app.warmup_state.startswith("failed: unknown warmup")
 
-    class _Spy:
-        def segment_with_confidence(self, vol, mode):
-            calls.append(mode)
-            return None, None
+        calls = []
 
-        def classify_tumor(self, vol):
-            calls.append("classify")
-            return "t", 0.5
+        class _Spy:
+            def segment_with_confidence(self, vol, mode):
+                calls.append(mode)
+                return None, None
 
-    app.config = replace(app.config, inference=replace(
-        app.config.inference, warmup="upload", upload_mode="cropped"))
-    app._get_predictor = lambda: _Spy()
-    warmup_app(app, native_shape=(16, 16, 12))
-    assert app.warmup_state == "done"
-    assert "whole_volume" not in calls and "cropped" in calls
+            def classify_tumor(self, vol):
+                calls.append("classify")
+                return "t", 0.5
+
+        app.config = replace(app.config, inference=replace(
+            app.config.inference, warmup="upload", upload_mode="cropped"))
+        app._get_predictor = lambda: _Spy()
+        warmup_app(app, native_shape=(16, 16, 12))
+        assert app.warmup_state == "done"
+        assert "whole_volume" not in calls and "cropped" in calls
+    finally:
+        app.config, app._get_predictor, app.warmup_state = saved
 
 
 def test_model_arch_accepts_reference_form_values():

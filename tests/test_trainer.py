@@ -397,3 +397,40 @@ def test_pre_ema_checkpoint_resumes_into_ema_config(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ema_checkpoint_restores_into_non_ema_config(tmp_path):
+    """The reverse direction of forward-compat: an EMA-trained
+    checkpoint resumed without --ema_decay restores cleanly (the saved
+    EMA is dropped; the live params continue training)."""
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    ema_cfg = tiny_config().replace(ema_decay=0.9)
+    state = create_train_state(model, ema_cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, best_dice=0.4, epoch=2)
+
+    plain = create_train_state(model, tiny_config(), jax.random.PRNGKey(1),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    restored, meta = restore_checkpoint(path, plain)
+    assert restored.ema_params is None
+    assert meta["best_dice"] == pytest.approx(0.4)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ema_decay_out_of_range_rejected():
+    """Negative or >=1 decay fails fast: a negative value desyncs the
+    seeding from the update (pytree mismatch mid-train) and decay=1.0
+    silently serves the random init forever."""
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    for bad in (-0.5, 1.0, 1.5):
+        with pytest.raises(ValueError, match="ema_decay"):
+            create_train_state(model, tiny_config().replace(ema_decay=bad),
+                               jax.random.PRNGKey(0), (1, *IMG, 4))
+        with pytest.raises(ValueError, match="ema_decay"):
+            make_train_step(tiny_config().replace(ema_decay=bad),
+                            donate=False)
