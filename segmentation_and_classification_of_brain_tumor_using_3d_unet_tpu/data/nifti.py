@@ -119,6 +119,16 @@ def load(path: str) -> NiftiImage:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + scl_inter
 
+    affine = _affine_from_header(raw, endian, pixdim,
+                                 sform_code, qform_code)
+
+    return NiftiImage(data=data, affine=affine,
+                      pixdim=tuple(pixdim[1:4]))
+
+
+def _affine_from_header(raw: bytes, endian: str, pixdim,
+                        sform_code: int, qform_code: int) -> np.ndarray:
+    """sform > qform > pixdim-diagonal fallback (NIfTI-1 precedence)."""
     affine = np.eye(4, dtype=np.float64)
     if sform_code > 0:
         srow = np.array([
@@ -132,9 +142,28 @@ def load(path: str) -> NiftiImage:
     else:
         for i in range(3):
             affine[i, i] = pixdim[i + 1] or 1.0
+    return affine
 
-    return NiftiImage(data=data, affine=affine,
-                      pixdim=tuple(pixdim[1:4]))
+
+def load_affine(path: str) -> np.ndarray:
+    """Voxel->world affine from just the 352-byte header — no voxel
+    decode (a gz stream read stops after the header block), so
+    propagating an input scan's registration into prediction masks
+    costs microseconds. Raises on non-NIfTI input."""
+    with _open(path, "rb") as f:
+        raw = f.read(_HDR_SIZE)
+    if len(raw) < _HDR_SIZE:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    endian = "<"
+    if struct.unpack("<i", raw[0:4])[0] != _HDR_SIZE:
+        endian = ">"
+        if struct.unpack(">i", raw[0:4])[0] != _HDR_SIZE:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+    pixdim = struct.unpack_from(endian + "8f", raw, 76)
+    sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
+    qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
+    return _affine_from_header(raw, endian, pixdim,
+                               sform_code, qform_code)
 
 
 def _quaternion_affine(raw: bytes, endian: str, pixdim) -> np.ndarray:

@@ -233,10 +233,19 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
                 norm, mode=args.mode, tta=args.tta)
         base = os.path.join(args.output, case["case_id"])
         mask_path = f"{base}_seg.{args.format}"
+        # carry the scan's voxel->world affine into the outputs so the
+        # mask registers over the original in viewers (header-only
+        # read; .npy inputs have no affine -> identity)
+        affine = None
+        try:
+            affine = nifti.load_affine(case["images"][0])
+        except Exception:
+            pass
         if args.format == "npy":
             np.save(mask_path, labels)
         else:
-            nifti.save(mask_path, labels.astype(np.uint8))
+            nifti.save(mask_path, labels.astype(np.uint8),
+                       affine=affine)
         secs = time.time() - t0
         if case["case_id"] in dp_results:
             secs += dp_seconds
@@ -249,7 +258,8 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             if args.format == "npy":
                 np.save(conf_path, conf)
             else:
-                nifti.save(conf_path, conf.astype(np.float32))
+                nifti.save(conf_path, conf.astype(np.float32),
+                           affine=affine)
             summary["confidence"] = conf_path
 
         if args.report:

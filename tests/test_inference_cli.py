@@ -163,3 +163,40 @@ def test_data_parallel_rejects_sliding_window(cohort, tmp_path):
                       "--output", str(tmp_path / "x"),
                       "--mode", "cropped", "--data_parallel",
                       "--checkpoint", "none"])
+
+
+def test_predicted_mask_preserves_input_affine(tmp_path):
+    """Output masks must carry the scan's voxel->world affine (sform)
+    so they overlay correctly on the original in viewers — the codec
+    writes identity when none is given, which silently de-registers
+    masks for any scan with real spacing/orientation."""
+    rng = np.random.default_rng(3)
+    case_dir = tmp_path / "in" / "case_aff"
+    case_dir.mkdir(parents=True)
+    affine = np.array([
+        [0.0, -1.0, 0.0, 12.5],
+        [0.9, 0.0, 0.0, -7.0],
+        [0.0, 0.0, 2.4, 30.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    ball = _ball()
+    for m in BRATS_MODALITIES:
+        vol = rng.random((24, 24, 24)).astype(np.float32) + 2.0 * ball
+        nifti.save(str(case_dir / f"case_aff_{m}.nii.gz"), vol,
+                   affine=affine)
+
+    # header-only affine read matches the full decode
+    p0 = str(case_dir / f"case_aff_{BRATS_MODALITIES[0]}.nii.gz")
+    np.testing.assert_allclose(nifti.load_affine(p0),
+                               nifti.load(p0).affine, atol=1e-5)
+
+    out = tmp_path / "out"
+    predict_main([
+        "--input", str(tmp_path / "in"), "--output", str(out),
+        "--mode", "whole_volume", "--checkpoint", "none",
+        "--image_size", "16", "16", "16", "--features", "8", "16",
+        "--roi_size", "16", "16", "16", "--save_confidence",
+    ])
+    for suffix in ("seg", "conf"):
+        got = nifti.load(str(out / f"case_aff_{suffix}.nii.gz")).affine
+        np.testing.assert_allclose(got, affine, atol=1e-5)
