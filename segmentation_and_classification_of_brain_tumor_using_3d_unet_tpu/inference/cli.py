@@ -266,9 +266,15 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             gt = None
             if case["seg"]:
                 gt = load_any_volume(case["seg"]).astype(np.int32)
+            # real voxel volume from the scan's affine (|det| of the
+            # 3x3 block); the reference assumes 1 mm^3 everywhere
+            # (main.py:473), which holds for BraTS but not general
+            # scans — identity affine degrades to exactly that
+            vox_mm3 = (abs(float(np.linalg.det(affine[:3, :3])))
+                       if affine is not None else 1.0) or 1.0
             metrics = calculate_medical_metrics(
                 raw[..., 0], labels, ground_truth=gt,
-                confidence_map=conf)
+                confidence_map=conf, voxel_volume_mm3=vox_mm3)
             tumor_type, cls_conf = predictor.classify_tumor(
                 norm, segmentation=labels)
             grade = predictor.classify_grade(norm)

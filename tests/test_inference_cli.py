@@ -195,8 +195,17 @@ def test_predicted_mask_preserves_input_affine(tmp_path):
         "--input", str(tmp_path / "in"), "--output", str(out),
         "--mode", "whole_volume", "--checkpoint", "none",
         "--image_size", "16", "16", "16", "--features", "8", "16",
-        "--roi_size", "16", "16", "16", "--save_confidence",
+        "--roi_size", "16", "16", "16", "--save_confidence", "--report",
     ])
     for suffix in ("seg", "conf"):
         got = nifti.load(str(out / f"case_aff_{suffix}.nii.gz")).affine
         np.testing.assert_allclose(got, affine, atol=1e-5)
+
+    # clinical volumes use the real voxel volume (|det| of the 3x3
+    # affine block = 0.9*1.0*2.4 mm^3), not the reference's 1 mm^3
+    # assumption (main.py:473)
+    report = json.load(open(out / "case_aff_report.json"))
+    labels = nifti.load(str(out / "case_aff_seg.nii.gz")).data
+    vol_mm3 = float(report["measurements"]["tumor_volume"].split()[0])
+    want = float((labels > 0).sum()) * abs(np.linalg.det(affine[:3, :3]))
+    assert vol_mm3 == pytest.approx(want, rel=0.01)
