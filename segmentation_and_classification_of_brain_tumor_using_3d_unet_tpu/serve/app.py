@@ -264,6 +264,7 @@ class BrainTumorApp:
         size = self.config.data.image_size
         vol = None
         cls_conf = None
+        vox_mm3 = 1.0
         if filepath and not demo:
             try:
                 from ..inference.predictor import preprocess_image
@@ -273,6 +274,20 @@ class BrainTumorApp:
                 # the reference's destructive zoom (main.py:382-398)
                 vol = preprocess_image(
                     filepath, size if mode == "whole_volume" else None)
+                if mode != "whole_volume":
+                    # native-res path: clinical volumes in the report
+                    # use the scan's true voxel volume (|det| of the
+                    # affine's 3x3 block); the whole_volume path
+                    # resamples the grid, where per-voxel mm^3 no
+                    # longer matches the header
+                    try:
+                        from ..data import nifti as _nifti
+                        import numpy as _np2
+                        a = _nifti.load_affine(filepath)
+                        vox_mm3 = (abs(float(
+                            _np2.linalg.det(a[:3, :3]))) or 1.0)
+                    except Exception:
+                        pass
                 mark("preprocess")
                 predictor = self._get_predictor()
                 seg, conf = predictor.segment_with_confidence(
@@ -297,7 +312,8 @@ class BrainTumorApp:
 
         metrics = calculate_medical_metrics(
             vol, seg,
-            confidence_map=None if degraded else quality_conf)
+            confidence_map=None if degraded else quality_conf,
+            voxel_volume_mm3=1.0 if degraded else vox_mm3)
         report = generate_clinical_report(
             metrics, filename=filepath or "demo",
             classifier_confidence=cls_conf,

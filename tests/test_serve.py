@@ -606,3 +606,40 @@ def test_model_arch_accepts_reference_form_values():
     page = templates.index_page()
     for v in ("unet3d", "lightweight", "enhanced", "joint"):
         assert f'value="{v}"' in page, v
+
+
+def test_upload_clinical_volumes_use_scan_spacing(app, tmp_path, rng):
+    """A native-res (cropped) upload reports clinical volumes in real
+    mm^3 from the scan's affine — two uploads of identical voxel data
+    differing only in header spacing must differ by |det| (here 2.16x);
+    identity-affine uploads reproduce the reference's 1 mm^3 numbers."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        nifti)
+
+    vol = rng.normal(0.5, 0.2, (16, 16, 16)).astype(np.float32)
+    vol[4:10, 4:10, 4:10] += 2.0      # a bright blob to segment
+    aff = np.array([[0.0, -1.0, 0.0, 5.0], [0.9, 0.0, 0.0, -2.0],
+                    [0.0, 0.0, 2.4, 8.0], [0.0, 0.0, 0.0, 1.0]])
+
+    def upload(affine):
+        p = str(tmp_path / "u.nii.gz")
+        nifti.save(p, vol, affine=affine)
+        data = open(p, "rb").read()
+        boundary = "BA"
+        body = (f"--{boundary}\r\n"
+                'Content-Disposition: form-data; name="file"; '
+                'filename="u.nii.gz"\r\n\r\n').encode() + data + (
+            f"\r\n--{boundary}--\r\n").encode()
+        _, _, payload = app.route(
+            "POST", "/upload", {}, body,
+            {"content-type": f"multipart/form-data; boundary={boundary}"})
+        j = json.loads(payload)
+        assert j["success"] and j["degraded_mode"] is False
+        return float(j["measurements"]["tumor_volume"].split()[0])
+
+    v_iso = upload(None)                    # identity affine
+    v_aniso = upload(aff)
+    if v_iso > 0:
+        assert v_aniso == pytest.approx(2.16 * v_iso, rel=0.01)
+    else:
+        assert v_aniso == 0.0
