@@ -36,6 +36,16 @@ logger = logging.getLogger(__name__)
 _VOLUME_EXTS = (".nii", ".nii.gz", ".npy")
 
 
+def _affine_spacing(affine) -> Optional[tuple]:
+    """Per-axis voxel size in mm (column norms of the 3x3 block);
+    None for absent/degenerate affines (metrics then assume 1 mm
+    isotropic — the reference's standing assumption)."""
+    if affine is None:
+        return None
+    sp = tuple(float(np.linalg.norm(affine[:3, i])) for i in range(3))
+    return sp if all(s > 0 for s in sp) else None
+
+
 def _is_volume(p: Path) -> bool:
     return p.name.endswith(_VOLUME_EXTS)
 
@@ -266,15 +276,14 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             gt = None
             if case["seg"]:
                 gt = load_any_volume(case["seg"]).astype(np.int32)
-            # real voxel volume from the scan's affine (|det| of the
-            # 3x3 block); the reference assumes 1 mm^3 everywhere
+            # real per-axis voxel size from the scan's affine (column
+            # norms); the reference assumes 1 mm isotropic everywhere
             # (main.py:473), which holds for BraTS but not general
-            # scans — identity affine degrades to exactly that
-            vox_mm3 = (abs(float(np.linalg.det(affine[:3, :3])))
-                       if affine is not None else 1.0) or 1.0
+            # scans — identity/absent affine degrades to exactly that
+            spacing = _affine_spacing(affine)
             metrics = calculate_medical_metrics(
                 raw[..., 0], labels, ground_truth=gt,
-                confidence_map=conf, voxel_volume_mm3=vox_mm3)
+                confidence_map=conf, spacing_mm=spacing)
             tumor_type, cls_conf = predictor.classify_tumor(
                 norm, segmentation=labels)
             grade = predictor.classify_grade(norm)

@@ -264,7 +264,7 @@ class BrainTumorApp:
         size = self.config.data.image_size
         vol = None
         cls_conf = None
-        vox_mm3 = 1.0
+        spacing_mm = None
         if filepath and not demo:
             try:
                 from ..inference.predictor import preprocess_image
@@ -275,17 +275,16 @@ class BrainTumorApp:
                 vol = preprocess_image(
                     filepath, size if mode == "whole_volume" else None)
                 if mode != "whole_volume":
-                    # native-res path: clinical volumes in the report
-                    # use the scan's true voxel volume (|det| of the
-                    # affine's 3x3 block); the whole_volume path
-                    # resamples the grid, where per-voxel mm^3 no
-                    # longer matches the header
+                    # native-res path: clinical volumes/areas in the
+                    # report use the scan's true per-axis voxel size
+                    # (affine column norms); the whole_volume path
+                    # resamples the grid, where header spacing no
+                    # longer applies
                     try:
                         from ..data import nifti as _nifti
-                        import numpy as _np2
-                        a = _nifti.load_affine(filepath)
-                        vox_mm3 = (abs(float(
-                            _np2.linalg.det(a[:3, :3]))) or 1.0)
+                        from ..inference.cli import _affine_spacing
+                        spacing_mm = _affine_spacing(
+                            _nifti.load_affine(filepath))
                     except Exception:
                         pass
                 mark("preprocess")
@@ -313,7 +312,7 @@ class BrainTumorApp:
         metrics = calculate_medical_metrics(
             vol, seg,
             confidence_map=None if degraded else quality_conf,
-            voxel_volume_mm3=1.0 if degraded else vox_mm3)
+            spacing_mm=None if degraded else spacing_mm)
         report = generate_clinical_report(
             metrics, filename=filepath or "demo",
             classifier_confidence=cls_conf,

@@ -29,12 +29,22 @@ def calculate_medical_metrics(image_data: np.ndarray,
                               segmentation: np.ndarray,
                               ground_truth: Optional[np.ndarray] = None,
                               confidence_map: Optional[np.ndarray] = None,
-                              voxel_volume_mm3: float = 1.0) -> Dict:
-    """Volume/shape metrics (real) + quality metrics (real or estimated)."""
+                              voxel_volume_mm3: float = 1.0,
+                              spacing_mm: Optional[tuple] = None) -> Dict:
+    """Volume/shape metrics (real) + quality metrics (real or estimated).
+
+    ``spacing_mm`` (per-axis voxel size) keeps every shape metric in
+    consistent physical units: volume in mm^3, surface area in mm^2 —
+    so the dimensionless compactness (36*pi*V^2/A^3) is spacing-
+    invariant. Without it, ``voxel_volume_mm3`` scales volumes only and
+    the surface area stays in voxel units (exact for 1 mm isotropic
+    scans — the reference's standing assumption, ``main.py:473``)."""
     seg = np.asarray(segmentation)
     out: Dict = {}
     total = float(np.prod(seg.shape))
     tumor_vox = float((seg > 0).sum())
+    if spacing_mm is not None:
+        voxel_volume_mm3 = float(np.prod(spacing_mm))
     tumor_volume = tumor_vox * voxel_volume_mm3
     out["tumor_volume_mm3"] = tumor_volume
     out["tumor_percentage"] = 100.0 * tumor_vox / total
@@ -42,7 +52,8 @@ def calculate_medical_metrics(image_data: np.ndarray,
     if tumor_vox > 0:
         out["equivalent_diameter"] = 2.0 * (
             3.0 * tumor_volume / (4.0 * np.pi)) ** (1.0 / 3.0)
-        out["surface_area"] = _surface_area(seg > 0)
+        out["surface_area"] = _surface_area(
+            seg > 0, spacing_mm or (1.0, 1.0, 1.0))
         out["compactness"] = (
             (36.0 * np.pi * tumor_volume ** 2) / out["surface_area"] ** 3
             if out["surface_area"] > 0 else 0.0)
@@ -97,11 +108,12 @@ def calculate_medical_metrics(image_data: np.ndarray,
     return out
 
 
-def _surface_area(mask: np.ndarray) -> float:
+def _surface_area(mask: np.ndarray,
+                  spacing=(1.0, 1.0, 1.0)) -> float:
     # smooth (marching-cubes-quality) estimator; the voxel-face count
     # overestimates ~1.5x and skewed compactness/risk vs the reference
     from ..utils.mesh import isosurface_area
-    return isosurface_area(mask)
+    return isosurface_area(mask, spacing=tuple(spacing))
 
 
 # diagnosis ladder, index = grade 0..3 (benign .. high-grade); the

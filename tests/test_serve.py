@@ -643,3 +643,35 @@ def test_upload_clinical_volumes_use_scan_spacing(app, tmp_path, rng):
         assert v_aniso == pytest.approx(2.16 * v_iso, rel=0.01)
     else:
         assert v_aniso == 0.0
+
+
+def test_shape_metrics_unit_consistency_under_spacing():
+    """spacing_mm keeps volume (mm^3) and surface area (mm^2)
+    consistent: a physical 8 mm-radius sphere sampled on a (1,1,2) mm
+    grid (so an ellipsoid in voxel space) must report compactness ~1
+    — and ~the same volume/area/diameter as the isotropically sampled
+    sphere. Without spacing the same mask would read as an oblate
+    ellipsoid (compactness well below 1)."""
+    r = 8.0
+    zz, yy, xx = np.mgrid[:32, :32, :16].astype(np.float32)
+    aniso = (((zz - 16) * 1.0) ** 2 + ((yy - 16) * 1.0) ** 2 +
+             ((xx - 8) * 2.0) ** 2) <= r * r
+    img = np.zeros_like(aniso, np.float32)
+    m_aniso = calculate_medical_metrics(img, aniso.astype(np.uint8),
+                                        spacing_mm=(1.0, 1.0, 2.0))
+
+    zz, yy, xx = np.mgrid[:32, :32, :32].astype(np.float32)
+    iso = ((zz - 16) ** 2 + (yy - 16) ** 2 + (xx - 16) ** 2) <= r * r
+    m_iso = calculate_medical_metrics(np.zeros_like(iso, np.float32),
+                                      iso.astype(np.uint8))
+
+    assert m_aniso["tumor_volume_mm3"] == pytest.approx(
+        m_iso["tumor_volume_mm3"], rel=0.05)
+    assert m_aniso["surface_area"] == pytest.approx(
+        m_iso["surface_area"], rel=0.10)
+    assert m_aniso["equivalent_diameter"] == pytest.approx(2 * r,
+                                                           rel=0.05)
+    assert 0.8 < m_aniso["compactness"] < 1.2
+    # voxel-units computation on the same mask sees an oblate ellipsoid
+    m_novox = calculate_medical_metrics(img, aniso.astype(np.uint8))
+    assert m_novox["compactness"] < m_aniso["compactness"]
