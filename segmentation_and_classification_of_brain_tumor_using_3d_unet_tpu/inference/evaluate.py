@@ -155,9 +155,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a per-case CSV table (one row per "
                         "case, one column per metric)")
     p.add_argument("--num_classes", type=int, default=4)
-    p.add_argument("--spacing", type=float, nargs=3,
-                   default=(1.0, 1.0, 1.0),
-                   help="voxel spacing (mm) for HD95")
+    p.add_argument("--spacing", type=float, nargs=3, default=None,
+                   help="voxel spacing (mm) for HD95; default: read "
+                        "from each ground-truth NIfTI header (1 mm "
+                        "isotropic for .npy)")
     return p
 
 
@@ -176,9 +177,19 @@ def evaluate_main(argv: Optional[Sequence[str]] = None) -> Dict:
     for pair in pairs:
         pred = load_any_volume(pair["pred"]).astype(np.int32)
         gt = load_any_volume(pair["gt"]).astype(np.int32)
+        spacing = tuple(args.spacing) if args.spacing else None
+        if spacing is None:
+            # per-case spacing from the GT header -> HD95 in real mm
+            try:
+                from ..data import nifti as _nifti
+                from .cli import _affine_spacing
+                spacing = _affine_spacing(
+                    _nifti.load_affine(pair["gt"]))
+            except Exception:
+                spacing = None
         cases[pair["case_id"]] = evaluate_case(
             pred, gt, num_classes=args.num_classes,
-            spacing=tuple(args.spacing))
+            spacing=spacing or (1.0, 1.0, 1.0))
     agg = aggregate(cases)
 
     result = {"n_cases": len(cases), "pairs": pairs,

@@ -75,8 +75,8 @@ def calculate_medical_metrics(image_data: np.ndarray,
         out["jaccard_index"] = float(M.iou_score(seg > 0, gt > 0))
         out["sensitivity"] = float(M.sensitivity(seg > 0, gt > 0))
         out["specificity"] = float(M.specificity(seg > 0, gt > 0))
-        out["hausdorff_distance"] = M.hausdorff_distance_95(seg > 0,
-                                                            gt > 0)
+        out["hausdorff_distance"] = M.hausdorff_distance_95(
+            seg > 0, gt > 0, spacing_mm or (1.0, 1.0, 1.0))
         out["quality_estimated"] = False
     else:
         # no ground truth at serving time: derive a confidence proxy from

@@ -114,3 +114,34 @@ def test_evaluate_main_end_to_end(cohort_with_preds, capsys):
     rows = list(_csv.reader(open(csv_path)))
     assert rows[0][0] == "case_id" and "dice_WT" in rows[0]
     assert [r[0] for r in rows[1:]] == ["case_a", "case_b"]
+
+
+def test_hd95_uses_gt_header_spacing(tmp_path):
+    """Without --spacing, HD95 comes out in real mm from the GT NIfTI
+    header: doubling the z spacing must scale a pure-z surface offset's
+    HD accordingly."""
+    import numpy as np
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        nifti)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import (
+        evaluate_main)
+
+    gt = np.zeros((16, 16, 16), np.uint8)
+    gt[4:8, 4:12, 4:12] = 1
+    pred = np.zeros_like(gt)
+    pred[6:10, 4:12, 4:12] = 1     # shifted 2 voxels along axis 0
+
+    def run(spacing_z, tag):
+        pdir = tmp_path / f"pred_{tag}"
+        gdir = tmp_path / f"gt_{tag}" / "case_x"
+        pdir.mkdir(); gdir.mkdir(parents=True)
+        aff = np.diag([spacing_z, 1.0, 1.0, 1.0])
+        nifti.save(str(gdir / "case_x_seg.nii.gz"), gt, affine=aff)
+        nifti.save(str(pdir / "case_x_seg.nii.gz"), pred, affine=aff)
+        res = evaluate_main(["--pred", str(pdir),
+                             "--gt", str(tmp_path / f"gt_{tag}")])
+        return res["cases"]["case_x"]["hd95_WT"]
+
+    hd1 = run(1.0, "a")
+    hd2 = run(2.0, "b")
+    assert hd2 == pytest.approx(2.0 * hd1, rel=0.05)
