@@ -133,6 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "together)")
     p.add_argument("--batch_per_chip", type=int, default=1,
                    help="volumes per device per wave in --data_parallel")
+    p.add_argument("--brats_labels", action="store_true",
+                   help="write masks in the raw BraTS convention "
+                        "(enhancing tumor = label 4, as on disk in "
+                        "BraTS datasets) instead of the model's "
+                        "contiguous 0..3 labels — output is directly "
+                        "comparable with BraTS tooling and the "
+                        "datasets' own seg files")
     p.add_argument("--format", default="nii.gz",
                    choices=["nii.gz", "nii", "npy"])
     p.add_argument("--preset", default="standard",
@@ -243,6 +250,12 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
                 norm, mode=args.mode, tta=args.tta)
         base = os.path.join(args.output, case["case_id"])
         mask_path = f"{base}_seg.{args.format}"
+        # --brats_labels: undo the training-time 4 -> 3 remap
+        # (BRATS_LABEL_REMAP) in the WRITTEN mask only — enhancing
+        # tumor back to its on-disk label 4 for BraTS tooling; reports
+        # and metrics below keep the model's contiguous labels
+        out_labels = (np.where(labels == 3, 4, labels)
+                      if args.brats_labels else labels)
         # carry the scan's voxel->world affine into the outputs so the
         # mask registers over the original in viewers (header-only
         # read; .npy inputs have no affine -> identity)
@@ -252,9 +265,9 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
         except Exception:
             pass
         if args.format == "npy":
-            np.save(mask_path, labels)
+            np.save(mask_path, out_labels)
         else:
-            nifti.save(mask_path, labels.astype(np.uint8),
+            nifti.save(mask_path, out_labels.astype(np.uint8),
                        affine=affine)
         secs = time.time() - t0
         if case["case_id"] in dp_results:

@@ -209,3 +209,23 @@ def test_predicted_mask_preserves_input_affine(tmp_path):
     vol_mm3 = float(report["measurements"]["tumor_volume"].split()[0])
     want = float((labels > 0).sum()) * abs(np.linalg.det(affine[:3, :3]))
     assert vol_mm3 == pytest.approx(want, rel=0.01)
+
+
+def test_brats_labels_export(cohort, tmp_path):
+    """--brats_labels writes enhancing tumor as raw label 4 (on-disk
+    BraTS convention, config.py BRATS_LABEL_REMAP inverse); default
+    output keeps the model's contiguous 0..3."""
+    out_a = tmp_path / "contig"
+    out_b = tmp_path / "brats"
+    common = ["--input", str(cohort / "case_a"),
+              "--mode", "whole_volume", "--checkpoint", "none",
+              "--image_size", "16", "16", "16", "--features", "8", "16",
+              "--roi_size", "16", "16", "16"]
+    predict_main(common + ["--output", str(out_a)])
+    predict_main(common + ["--output", str(out_b), "--brats_labels"])
+    a = nifti.load(str(out_a / "case_a_seg.nii.gz")).data
+    b = nifti.load(str(out_b / "case_a_seg.nii.gz")).data
+    assert a.max() <= 3 and 4 not in np.unique(a)
+    assert 3 not in np.unique(b)
+    np.testing.assert_array_equal(b == 4, a == 3)
+    np.testing.assert_array_equal(b[b != 4], a[a != 3])
