@@ -55,10 +55,18 @@ def evaluate_case(pred: np.ndarray, gt: np.ndarray,
                   num_classes: int = 4,
                   spacing: Sequence[float] = (1.0, 1.0, 1.0),
                   regions=None) -> Dict[str, float]:
-    """Per-case metric dict for integer label volumes of equal shape."""
+    """Per-case metric dict for integer label volumes of equal shape.
+
+    Both inputs are normalized to the contiguous convention (raw BraTS
+    enhancing-tumor label 4 -> 3, the training remap) before scoring —
+    real BraTS seg files and ``--brats_labels`` predictions score
+    correctly against either convention; without this, ET/TC dice
+    silently read 0 whenever the two sides used different label ids."""
     if pred.shape != gt.shape:
         raise ValueError(f"shape mismatch: pred {pred.shape} vs "
                          f"gt {gt.shape}")
+    pred = np.where(pred == 4, 3, pred)
+    gt = np.where(gt == 4, 3, gt)
     regions = dict(regions or BRATS_REGIONS)
     out: Dict[str, float] = {}
     for c in range(1, num_classes):

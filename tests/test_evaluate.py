@@ -145,3 +145,24 @@ def test_hd95_uses_gt_header_spacing(tmp_path):
     hd1 = run(1.0, "a")
     hd2 = run(2.0, "b")
     assert hd2 == pytest.approx(2.0 * hd1, rel=0.05)
+
+
+def test_raw_brats_label_convention_scores_correctly(tmp_path):
+    """A raw BraTS GT (enhancing tumor = 4 on disk) scored against a
+    contiguous-label prediction (ET = 3) must give perfect ET/TC dice
+    for identical masks — both sides normalize to one convention."""
+    import numpy as np
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.evaluate import (
+        evaluate_case)
+
+    gt = np.zeros((12, 12, 12), np.int32)
+    gt[2:6, 2:6, 2:6] = 1        # necrotic
+    gt[6:9, 6:9, 6:9] = 2        # edema
+    gt[9:11, 9:11, 9:11] = 4     # enhancing, raw on-disk label
+    pred = np.where(gt == 4, 3, gt)   # the model's contiguous output
+
+    m = evaluate_case(pred, gt)
+    assert m["dice_ET"] == pytest.approx(1.0)
+    assert m["dice_TC"] == pytest.approx(1.0)
+    assert m["dice_WT"] == pytest.approx(1.0)
+    assert m["dice_c3"] == pytest.approx(1.0)
