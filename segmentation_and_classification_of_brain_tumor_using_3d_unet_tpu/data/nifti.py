@@ -189,6 +189,17 @@ def save(path: str, data: np.ndarray,
          affine: Optional[np.ndarray] = None,
          spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0)) -> None:
     """Write a .nii / .nii.gz file (scalar dtypes only)."""
+    payload = encode(data, affine=affine, spacing=spacing)
+    with _open(path, "wb") as f:
+        f.write(payload)
+
+
+def encode(data: np.ndarray,
+           affine: Optional[np.ndarray] = None,
+           spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+           ) -> bytes:
+    """Uncompressed .nii bytes in memory (``save`` gzips when the path
+    says so; callers shipping over HTTP gzip themselves)."""
     data = np.asarray(data)
     if data.dtype not in _CODES:
         if np.issubdtype(data.dtype, np.floating):
@@ -217,9 +228,7 @@ def save(path: str, data: np.ndarray,
     struct.pack_into("<4f", hdr, 312, *aff[2, :])
     hdr[344:348] = b"n+1\x00"
 
-    payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
-    with _open(path, "wb") as f:
-        f.write(payload)
+    return bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
 
 
 def load_volume(path: str) -> np.ndarray:

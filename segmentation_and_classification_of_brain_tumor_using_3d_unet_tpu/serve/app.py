@@ -218,6 +218,8 @@ class BrainTumorApp:
         fields = parse_multipart(body, ctype) if (
             "multipart" in ctype) else {}
         demo = fields.get("demo", {}).get("data", b"0") == b"1"
+        return_mask = fields.get("return_mask",
+                                 {}).get("data", b"0") == b"1"
         fobj = fields.get("file")
         filename = "synthetic_demo.nii"
         filepath = None
@@ -231,7 +233,8 @@ class BrainTumorApp:
                 with open(filepath, "wb") as f:
                     f.write(fobj["data"])
 
-            analysis = self._analyze(filepath, demo)
+            analysis = self._analyze(filepath, demo,
+                                     return_mask=return_mask)
             payload = {
                 "success": True,
                 "patient_info": {
@@ -247,10 +250,15 @@ class BrainTumorApp:
             if filepath and os.path.exists(filepath):
                 os.remove(filepath)
 
-    def _analyze(self, filepath: Optional[str], demo: bool) -> Dict:
+    def _analyze(self, filepath: Optional[str], demo: bool,
+                 return_mask: bool = False) -> Dict:
         """Upload pipeline: decode -> preprocess -> segment (+confidence)
         -> classify -> metrics -> visualizations -> clinical report.
-        Logs per-phase wall time at INFO."""
+        Logs per-phase wall time at INFO. ``return_mask`` adds the
+        predicted label map itself as base64 .nii.gz (with the input
+        scan's affine) — the reference returns only rendered pictures
+        (``main.py:859-895``); a segmentation service should hand back
+        the segmentation."""
         from ..data.synthetic import synthesize_volume
         from ..utils.visualization import ModernMedicalVisualizer
 
@@ -265,6 +273,7 @@ class BrainTumorApp:
         vol = None
         cls_conf = None
         spacing_mm = None
+        in_affine = None
         if filepath and not demo:
             try:
                 from ..inference.predictor import preprocess_image
@@ -283,8 +292,8 @@ class BrainTumorApp:
                     try:
                         from ..data import nifti as _nifti
                         from ..inference.cli import _affine_spacing
-                        spacing_mm = _affine_spacing(
-                            _nifti.load_affine(filepath))
+                        in_affine = _nifti.load_affine(filepath)
+                        spacing_mm = _affine_spacing(in_affine)
                     except Exception:
                         pass
                 mark("preprocess")
@@ -329,7 +338,7 @@ class BrainTumorApp:
         mark("visualizations")
         if cls_name is not None:
             report["classification"]["model_classification"] = cls_name
-        return {
+        out = {
             "classification": report["classification"],
             "measurements": report["measurements"],
             "quality_metrics": report["quality_metrics"],
@@ -337,6 +346,22 @@ class BrainTumorApp:
             "visualizations": visualizations,
             "degraded_mode": degraded,
         }
+        if return_mask:
+            import base64
+            import gzip as _gzip
+            import numpy as _np3
+            from ..data import nifti as _nifti
+            # native-res modes: the mask aligns with the input grid and
+            # carries its affine; whole_volume resamples to the model
+            # grid, so the header affine no longer applies (identity)
+            payload = _gzip.compress(_nifti.encode(
+                _np3.asarray(seg).astype(_np3.uint8), affine=in_affine))
+            out["mask_nifti_base64"] = base64.b64encode(
+                payload).decode("ascii")
+            out["mask_grid"] = ("native" if in_affine is not None
+                                else "model")
+            mark("mask encode")
+        return out
 
     def _start_training(self, body: bytes) -> Tuple[int, str, str]:
         try:

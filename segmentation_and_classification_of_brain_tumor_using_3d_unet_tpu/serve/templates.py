@@ -148,6 +148,7 @@ async function upload() {{
   const fd = new FormData();
   if (f) fd.append('file', f);
   fd.append('demo', demo ? '1' : '0');
+  fd.append('return_mask', '1');
   narrate(true);
   let j;
   try {{
@@ -163,8 +164,14 @@ async function upload() {{
        ' <span class="badge">offline demo — not real inference</span>'
        : '');
   if (!j.success) return;
+  let maskLink = '';
+  if (j.mask_nifti_base64) {{
+    maskLink = `<p><a download="segmentation.nii.gz"
+      href="data:application/gzip;base64,${{j.mask_nifti_base64}}">
+      Download segmentation mask (.nii.gz, ${{j.mask_grid}} grid)</a></p>`;
+  }}
   const el = document.getElementById('results');
-  el.innerHTML = `
+  el.innerHTML = maskLink + `
     <h3>${{j.classification.primary_diagnosis}}
       (conf ${{(j.classification.confidence*100).toFixed(1)}}%,
        risk ${{j.classification.risk_level}})</h3>
@@ -280,7 +287,8 @@ def documentation_page() -> str:
 <table>
 <tr><th>POST /upload</th><td>multipart file -> JSON analysis
 (classification, measurements, quality metrics, clinical notes,
-visualizations)</td></tr>
+visualizations; optional field return_mask=1 adds the predicted label
+map as base64 .nii.gz with the scan's affine)</td></tr>
 <tr><th>POST /start_training</th><td>JSON {{epochs, batch_size,
 learning_rate, num_samples, model_arch, mode, ema_decay?,
 grad_accum?}} -> {{session_id}}</td></tr>

@@ -675,3 +675,50 @@ def test_shape_metrics_unit_consistency_under_spacing():
     # voxel-units computation on the same mask sees an oblate ellipsoid
     m_novox = calculate_medical_metrics(img, aniso.astype(np.uint8))
     assert m_novox["compactness"] < m_aniso["compactness"]
+
+
+def test_upload_returns_mask_nifti(app, tmp_path, rng):
+    """return_mask=1 adds the predicted label map as base64 .nii.gz
+    carrying the input scan's affine (native-res path) — the reference
+    returns only rendered pictures (main.py:859-895)."""
+    import base64
+    import gzip
+    import io as _io
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        nifti)
+
+    vol = rng.normal(0.5, 0.2, (16, 16, 16)).astype(np.float32)
+    vol[4:10, 4:10, 4:10] += 2.0
+    aff = np.diag([1.0, 1.0, 2.0, 1.0])
+    aff[:3, 3] = (3.0, -1.0, 7.0)
+    p = str(tmp_path / "m.nii.gz")
+    nifti.save(p, vol, affine=aff)
+    boundary = "BM"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="return_mask"\r\n\r\n'
+            "1\r\n"
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="m.nii.gz"\r\n\r\n').encode() + open(p, "rb").read() + (
+        f"\r\n--{boundary}--\r\n").encode()
+    _, _, payload = app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert j["success"] and j["degraded_mode"] is False
+    assert j["mask_grid"] == "native"
+    raw = gzip.decompress(base64.b64decode(j["mask_nifti_base64"]))
+    tmp = tmp_path / "mask.nii"
+    tmp.write_bytes(raw)
+    img = nifti.load(str(tmp))
+    assert img.data.shape == (16, 16, 16)
+    assert set(np.unique(img.data)) <= {0, 1, 2, 3}
+    np.testing.assert_allclose(img.affine, aff, atol=1e-5)
+
+    # without the field, no mask in the response (payload size control)
+    body2 = body.replace(b'name="return_mask"\r\n\r\n1',
+                         b'name="return_mask"\r\n\r\n0')
+    _, _, payload2 = app.route(
+        "POST", "/upload", {}, body2,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    assert "mask_nifti_base64" not in json.loads(payload2)
