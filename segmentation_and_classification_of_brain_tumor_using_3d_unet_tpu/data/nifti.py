@@ -103,12 +103,10 @@ def load(path: str) -> NiftiImage:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
     dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
 
-    pixdim = struct.unpack_from(endian + "8f", raw, 76)
+    pixdim, sform_code, qform_code = _header_geometry(raw, endian)
     vox_offset = int(unpack("f", 108))
     scl_slope = unpack("f", 112)
     scl_inter = unpack("f", 116)
-    sform_code = unpack("h", 254)
-    qform_code = unpack("h", 252)
 
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count,
@@ -145,6 +143,16 @@ def _affine_from_header(raw: bytes, endian: str, pixdim,
     return affine
 
 
+def _header_geometry(raw: bytes, endian: str):
+    """(pixdim, sform_code, qform_code) — the one place that knows the
+    geometry field offsets (76 / 254 / 252), shared by ``load`` and
+    ``load_affine``."""
+    pixdim = struct.unpack_from(endian + "8f", raw, 76)
+    sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
+    qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
+    return pixdim, sform_code, qform_code
+
+
 def load_affine(path: str) -> np.ndarray:
     """Voxel->world affine from just the 352-byte header — no voxel
     decode (a gz stream read stops after the header block), so
@@ -159,11 +167,31 @@ def load_affine(path: str) -> np.ndarray:
         endian = ">"
         if struct.unpack(">i", raw[0:4])[0] != _HDR_SIZE:
             raise ValueError(f"{path}: not a NIfTI-1 file")
-    pixdim = struct.unpack_from(endian + "8f", raw, 76)
-    sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
-    qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
+    if raw[344:348] not in _MAGIC:
+        raise ValueError(f"{path}: bad NIfTI magic {raw[344:348]!r}")
+    pixdim, sform_code, qform_code = _header_geometry(raw, endian)
     return _affine_from_header(raw, endian, pixdim,
                                sform_code, qform_code)
+
+
+def affine_spacing(affine) -> Optional[Tuple[float, float, float]]:
+    """Per-axis voxel size in mm (column norms of the 3x3 block);
+    None for absent/degenerate affines (callers then assume 1 mm
+    isotropic — the reference's standing assumption, main.py:473)."""
+    if affine is None:
+        return None
+    sp = tuple(float(np.linalg.norm(np.asarray(affine)[:3, i]))
+               for i in range(3))
+    return sp if all(s > 0 for s in sp) else None
+
+
+def affine_voxel_volume(affine) -> Optional[float]:
+    """Voxel volume in mm^3 = |det| of the 3x3 block — exact under
+    shear, where the product of column norms overestimates."""
+    if affine is None:
+        return None
+    v = abs(float(np.linalg.det(np.asarray(affine)[:3, :3])))
+    return v if v > 0 else None
 
 
 def _quaternion_affine(raw: bytes, endian: str, pixdim) -> np.ndarray:

@@ -36,16 +36,6 @@ logger = logging.getLogger(__name__)
 _VOLUME_EXTS = (".nii", ".nii.gz", ".npy")
 
 
-def _affine_spacing(affine) -> Optional[tuple]:
-    """Per-axis voxel size in mm (column norms of the 3x3 block);
-    None for absent/degenerate affines (metrics then assume 1 mm
-    isotropic — the reference's standing assumption)."""
-    if affine is None:
-        return None
-    sp = tuple(float(np.linalg.norm(affine[:3, i])) for i in range(3))
-    return sp if all(s > 0 for s in sp) else None
-
-
 def _is_volume(p: Path) -> bool:
     return p.name.endswith(_VOLUME_EXTS)
 
@@ -289,14 +279,16 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
             gt = None
             if case["seg"]:
                 gt = load_any_volume(case["seg"]).astype(np.int32)
-            # real per-axis voxel size from the scan's affine (column
-            # norms); the reference assumes 1 mm isotropic everywhere
+            # real voxel geometry from the scan's affine (per-axis
+            # column norms for areas, |det| for volumes — exact under
+            # shear); the reference assumes 1 mm isotropic everywhere
             # (main.py:473), which holds for BraTS but not general
             # scans — identity/absent affine degrades to exactly that
-            spacing = _affine_spacing(affine)
             metrics = calculate_medical_metrics(
                 raw[..., 0], labels, ground_truth=gt,
-                confidence_map=conf, spacing_mm=spacing)
+                confidence_map=conf,
+                spacing_mm=nifti.affine_spacing(affine),
+                voxel_volume_mm3=nifti.affine_voxel_volume(affine))
             tumor_type, cls_conf = predictor.classify_tumor(
                 norm, segmentation=labels)
             grade = predictor.classify_grade(norm)

@@ -57,16 +57,19 @@ def evaluate_case(pred: np.ndarray, gt: np.ndarray,
                   regions=None) -> Dict[str, float]:
     """Per-case metric dict for integer label volumes of equal shape.
 
-    Both inputs are normalized to the contiguous convention (raw BraTS
-    enhancing-tumor label 4 -> 3, the training remap) before scoring —
-    real BraTS seg files and ``--brats_labels`` predictions score
-    correctly against either convention; without this, ET/TC dice
-    silently read 0 whenever the two sides used different label ids."""
+    With the BraTS convention in play (``num_classes == 4``), both
+    inputs are normalized to contiguous labels (raw enhancing-tumor
+    label 4 -> 3, the training remap) before scoring — real BraTS seg
+    files and ``--brats_labels`` predictions score correctly against
+    either convention; without this, ET/TC dice silently read 0
+    whenever the two sides used different label ids. Datasets where 4
+    is a genuine class (``num_classes > 4``) are left untouched."""
     if pred.shape != gt.shape:
         raise ValueError(f"shape mismatch: pred {pred.shape} vs "
                          f"gt {gt.shape}")
-    pred = np.where(pred == 4, 3, pred)
-    gt = np.where(gt == 4, 3, gt)
+    if num_classes == 4:
+        pred = np.where(pred == 4, 3, pred)
+        gt = np.where(gt == 4, 3, gt)
     regions = dict(regions or BRATS_REGIONS)
     out: Dict[str, float] = {}
     for c in range(1, num_classes):
@@ -190,8 +193,7 @@ def evaluate_main(argv: Optional[Sequence[str]] = None) -> Dict:
             # per-case spacing from the GT header -> HD95 in real mm
             try:
                 from ..data import nifti as _nifti
-                from .cli import _affine_spacing
-                spacing = _affine_spacing(
+                spacing = _nifti.affine_spacing(
                     _nifti.load_affine(pair["gt"]))
             except Exception:
                 spacing = None

@@ -270,14 +270,15 @@ class BrainTumorApp:
             t0 = time.time()
 
         size = self.config.data.image_size
+        mode = self.config.inference.upload_mode
         vol = None
         cls_conf = None
         spacing_mm = None
+        vox_mm3 = None
         in_affine = None
         if filepath and not demo:
             try:
                 from ..inference.predictor import preprocess_image
-                mode = self.config.inference.upload_mode
                 # cropped/sliding_window segment at NATIVE resolution
                 # (the north-star capability); whole_volume reproduces
                 # the reference's destructive zoom (main.py:382-398)
@@ -291,9 +292,9 @@ class BrainTumorApp:
                     # longer applies
                     try:
                         from ..data import nifti as _nifti
-                        from ..inference.cli import _affine_spacing
                         in_affine = _nifti.load_affine(filepath)
-                        spacing_mm = _affine_spacing(in_affine)
+                        spacing_mm = _nifti.affine_spacing(in_affine)
+                        vox_mm3 = _nifti.affine_voxel_volume(in_affine)
                     except Exception:
                         pass
                 mark("preprocess")
@@ -321,7 +322,8 @@ class BrainTumorApp:
         metrics = calculate_medical_metrics(
             vol, seg,
             confidence_map=None if degraded else quality_conf,
-            spacing_mm=None if degraded else spacing_mm)
+            spacing_mm=None if degraded else spacing_mm,
+            voxel_volume_mm3=None if degraded else vox_mm3)
         report = generate_clinical_report(
             metrics, filename=filepath or "demo",
             classifier_confidence=cls_conf,
@@ -351,15 +353,18 @@ class BrainTumorApp:
             import gzip as _gzip
             import numpy as _np3
             from ..data import nifti as _nifti
-            # native-res modes: the mask aligns with the input grid and
-            # carries its affine; whole_volume resamples to the model
-            # grid, so the header affine no longer applies (identity)
+            # the grid is decided by the path actually taken: native-res
+            # modes paste the mask back onto the input grid (its affine
+            # applies, when readable); whole_volume resamples to the
+            # model grid; a degraded fallback is a SYNTHETIC model-grid
+            # mask and must never carry the real scan's registration
+            native_grid = not degraded and mode != "whole_volume"
             payload = _gzip.compress(_nifti.encode(
-                _np3.asarray(seg).astype(_np3.uint8), affine=in_affine))
+                _np3.asarray(seg).astype(_np3.uint8),
+                affine=in_affine if native_grid else None))
             out["mask_nifti_base64"] = base64.b64encode(
                 payload).decode("ascii")
-            out["mask_grid"] = ("native" if in_affine is not None
-                                else "model")
+            out["mask_grid"] = "native" if native_grid else "model"
             mark("mask encode")
         return out
 

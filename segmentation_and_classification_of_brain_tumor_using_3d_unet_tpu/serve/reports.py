@@ -29,22 +29,27 @@ def calculate_medical_metrics(image_data: np.ndarray,
                               segmentation: np.ndarray,
                               ground_truth: Optional[np.ndarray] = None,
                               confidence_map: Optional[np.ndarray] = None,
-                              voxel_volume_mm3: float = 1.0,
+                              voxel_volume_mm3: Optional[float] = None,
                               spacing_mm: Optional[tuple] = None) -> Dict:
     """Volume/shape metrics (real) + quality metrics (real or estimated).
 
     ``spacing_mm`` (per-axis voxel size) keeps every shape metric in
     consistent physical units: volume in mm^3, surface area in mm^2 —
     so the dimensionless compactness (36*pi*V^2/A^3) is spacing-
-    invariant. Without it, ``voxel_volume_mm3`` scales volumes only and
-    the surface area stays in voxel units (exact for 1 mm isotropic
-    scans — the reference's standing assumption, ``main.py:473``)."""
+    invariant. ``voxel_volume_mm3`` overrides the volume scale alone
+    (pass |det| of a sheared affine's 3x3 block, where the product of
+    column norms overestimates); when both are absent, voxel units —
+    exact for 1 mm isotropic scans, the reference's standing
+    assumption (``main.py:473``)."""
     seg = np.asarray(segmentation)
     out: Dict = {}
     total = float(np.prod(seg.shape))
     tumor_vox = float((seg > 0).sum())
-    if spacing_mm is not None:
-        voxel_volume_mm3 = float(np.prod(spacing_mm))
+    spacing = (tuple(float(s) for s in spacing_mm)
+               if spacing_mm is not None else None)
+    if voxel_volume_mm3 is None:
+        voxel_volume_mm3 = (float(np.prod(spacing)) if spacing
+                            else 1.0)
     tumor_volume = tumor_vox * voxel_volume_mm3
     out["tumor_volume_mm3"] = tumor_volume
     out["tumor_percentage"] = 100.0 * tumor_vox / total
@@ -53,7 +58,7 @@ def calculate_medical_metrics(image_data: np.ndarray,
         out["equivalent_diameter"] = 2.0 * (
             3.0 * tumor_volume / (4.0 * np.pi)) ** (1.0 / 3.0)
         out["surface_area"] = _surface_area(
-            seg > 0, spacing_mm or (1.0, 1.0, 1.0))
+            seg > 0, spacing if spacing else (1.0, 1.0, 1.0))
         out["compactness"] = (
             (36.0 * np.pi * tumor_volume ** 2) / out["surface_area"] ** 3
             if out["surface_area"] > 0 else 0.0)
@@ -76,7 +81,7 @@ def calculate_medical_metrics(image_data: np.ndarray,
         out["sensitivity"] = float(M.sensitivity(seg > 0, gt > 0))
         out["specificity"] = float(M.specificity(seg > 0, gt > 0))
         out["hausdorff_distance"] = M.hausdorff_distance_95(
-            seg > 0, gt > 0, spacing_mm or (1.0, 1.0, 1.0))
+            seg > 0, gt > 0, spacing if spacing else (1.0, 1.0, 1.0))
         out["quality_estimated"] = False
     else:
         # no ground truth at serving time: derive a confidence proxy from

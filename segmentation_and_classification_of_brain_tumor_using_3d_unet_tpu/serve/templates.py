@@ -55,6 +55,8 @@ inference: 3D U-Net segmentation + tumor-grade classification.</p>
   <input type="file" id="file" style="display:none"></label>
   <div id="fname" style="margin-top:6px;font-weight:600"></div></div>
 <label><input type="checkbox" id="demo"> demo mode (synthetic)</label>
+<label><input type="checkbox" id="wantmask"> return mask
+(.nii.gz download)</label>
 <button onclick="upload()">Analyze</button>
 <div class="bar"><div id="pbar"></div></div>
 <div id="status"></div><div id="results"></div></div>
@@ -148,7 +150,9 @@ async function upload() {{
   const fd = new FormData();
   if (f) fd.append('file', f);
   fd.append('demo', demo ? '1' : '0');
-  fd.append('return_mask', '1');
+  // opt-in: a full-res mask is a large base64 payload
+  if (document.getElementById('wantmask').checked && !demo)
+    fd.append('return_mask', '1');
   narrate(true);
   let j;
   try {{

@@ -166,3 +166,18 @@ def test_raw_brats_label_convention_scores_correctly(tmp_path):
     assert m["dice_TC"] == pytest.approx(1.0)
     assert m["dice_WT"] == pytest.approx(1.0)
     assert m["dice_c3"] == pytest.approx(1.0)
+
+
+def test_label4_not_remapped_beyond_brats_classes():
+    """num_classes > 4 means label 4 is a genuine class: no silent
+    merge into class 3."""
+    import numpy as np
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.evaluate import (
+        evaluate_case)
+
+    gt = np.zeros((8, 8, 8), np.int32)
+    gt[0:4] = 3
+    gt[4:8] = 4
+    m = evaluate_case(gt.copy(), gt, num_classes=5)
+    assert m["dice_c3"] == pytest.approx(1.0)
+    assert m["dice_c4"] == pytest.approx(1.0)

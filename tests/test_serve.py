@@ -722,3 +722,62 @@ def test_upload_returns_mask_nifti(app, tmp_path, rng):
         "POST", "/upload", {}, body2,
         {"content-type": f"multipart/form-data; boundary={boundary}"})
     assert "mask_nifti_base64" not in json.loads(payload2)
+
+
+def test_sheared_affine_volume_uses_det_and_numpy_spacing_ok():
+    """|det| is the voxel volume under shear (column-norm product
+    overestimates); numpy-array spacing must not crash on the
+    truthiness checks."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        nifti)
+
+    shear = np.array([[1.0, 0.5, 0.0, 0.0],
+                      [0.0, 1.0, 0.0, 0.0],
+                      [0.0, 0.0, 2.0, 0.0],
+                      [0.0, 0.0, 0.0, 1.0]])
+    sp = nifti.affine_spacing(shear)
+    det = nifti.affine_voxel_volume(shear)
+    assert det == pytest.approx(2.0)            # |det| exact
+    assert float(np.prod(sp)) > det             # norms overestimate
+
+    seg = np.zeros((8, 8, 8), np.uint8)
+    seg[2:6, 2:6, 2:6] = 1
+    img = np.zeros_like(seg, np.float32)
+    m = calculate_medical_metrics(img, seg, spacing_mm=sp,
+                                  voxel_volume_mm3=det)
+    assert m["tumor_volume_mm3"] == pytest.approx(64 * det)
+    # numpy-array spacing exercises the former truthiness crash
+    m2 = calculate_medical_metrics(img, seg,
+                                   spacing_mm=np.array([1.0, 1.0, 2.0]))
+    assert m2["tumor_volume_mm3"] == pytest.approx(128.0)
+    assert m2["surface_area"] > 0
+
+
+def test_degraded_return_mask_never_carries_scan_affine(app, tmp_path):
+    """A failed/undecodable upload falls back to the synthetic demo
+    analysis; its returned mask must be model-grid with identity
+    affine — stamping the user's scan registration onto a synthetic
+    mask would make it overlay 'correctly' on a real patient scan."""
+    import base64
+    import gzip
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        nifti)
+
+    boundary = "BD"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="return_mask"\r\n\r\n'
+            "1\r\n"
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="broken.nii.gz"\r\n\r\n').encode() + b"not a nifti" + (
+        f"\r\n--{boundary}--\r\n").encode()
+    _, _, payload = app.route(
+        "POST", "/upload", {}, body,
+        {"content-type": f"multipart/form-data; boundary={boundary}"})
+    j = json.loads(payload)
+    assert j["success"] and j["degraded_mode"] is True
+    assert j["mask_grid"] == "model"
+    raw = gzip.decompress(base64.b64decode(j["mask_nifti_base64"]))
+    p = tmp_path / "d.nii"
+    p.write_bytes(raw)
+    np.testing.assert_allclose(nifti.load(str(p)).affine, np.eye(4))
