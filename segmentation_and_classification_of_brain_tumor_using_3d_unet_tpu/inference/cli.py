@@ -33,11 +33,9 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_VOLUME_EXTS = (".nii", ".nii.gz", ".npy")
-
-
-def _is_volume(p: Path) -> bool:
-    return p.name.endswith(_VOLUME_EXTS)
+from ._files import VOLUME_EXTS as _VOLUME_EXTS
+from ._files import is_volume as _is_volume
+from ._files import volume_stem as _volume_stem
 
 
 def _case_from_dir(pdir: Path, modalities: Sequence[str]) -> Optional[Dict]:
@@ -70,7 +68,7 @@ def discover_cases(input_path: str,
     if root.is_file():
         if not _is_volume(root):
             raise SystemExit(f"unsupported input: {root}")
-        return [{"case_id": root.name.split(".")[0],
+        return [{"case_id": _volume_stem(root),
                  "images": [str(root)], "seg": None}]
     if not root.is_dir():
         raise SystemExit(f"input not found: {input_path}")
@@ -80,11 +78,33 @@ def discover_cases(input_path: str,
              if c]
     if cases:
         return cases
+    # flat directory of modality-token files: group by the prefix
+    # before "_<modality>" — several cases can share one directory
+    # (previously only the alphabetically-first case survived)
+    files = [f for f in sorted(root.iterdir()) if _is_volume(f)]
+    groups: Dict[str, List[Path]] = {}
+    for f in files:
+        if "seg" in f.name:
+            continue
+        for m in modalities:
+            idx = f.name.find(f"_{m}")
+            if idx > 0:
+                groups.setdefault(f.name[:idx], []).append(f)
+                break
+    if len(groups) > 1:
+        out = []
+        for cid in sorted(groups):
+            seg = [f for f in files
+                   if "seg" in f.name and f.name.startswith(cid)]
+            out.append({"case_id": cid,
+                        "images": [str(f) for f in groups[cid]],
+                        "seg": str(seg[0]) if seg else None})
+        return out
     own = _case_from_dir(root, modalities)
     if own and any(m in Path(f).name for f in own["images"]
                    for m in modalities):
         return [own]        # the dir IS one multi-modal case
-    return [{"case_id": Path(f).name.split(".")[0], "images": [f],
+    return [{"case_id": _volume_stem(f), "images": [f],
              "seg": None}
             for f in (own or {"images": []})["images"]]
 

@@ -123,8 +123,12 @@ def plan_crop(vol: np.ndarray, multiple: int = 16, min_size: int = 64,
 
 def extract_crop(vol: np.ndarray, offsets: Sequence[int],
                  bucket: Sequence[int]) -> np.ndarray:
-    """Slice the planned window out of the host volume, zero-padding at
-    the far edge where the bucket exceeds the volume."""
+    """Slice the planned window out of the host volume, EDGE-padding at
+    the far edge where the bucket exceeds the volume — the same pad
+    mode as the sliding-window engine's ``_pad_to_roi``, so crop-mode
+    and sliding-window-mode boundary voxels see identical context
+    (after z-scoring, air is a nonzero constant; exact zeros would be a
+    value the network never sees elsewhere)."""
     full = vol.shape[:3]
     sl = tuple(slice(o, min(o + b, f))
                for o, b, f in zip(offsets, bucket, full))
@@ -133,7 +137,7 @@ def extract_crop(vol: np.ndarray, offsets: Sequence[int],
     if vol.ndim == 4:
         pads.append((0, 0))
     if any(p[1] for p in pads):
-        crop = np.pad(crop, pads)
+        crop = np.pad(crop, pads, mode="edge")
     return crop
 
 

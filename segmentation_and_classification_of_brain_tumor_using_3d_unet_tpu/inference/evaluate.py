@@ -36,11 +36,8 @@ from ..metrics import hausdorff_distance_95
 
 logger = logging.getLogger(__name__)
 
-_VOLUME_EXTS = (".nii", ".nii.gz", ".npy")
-
-
-def _stem(p: Path) -> str:
-    return p.name.split(".")[0]
+from ._files import VOLUME_EXTS as _VOLUME_EXTS
+from ._files import volume_stem as _stem
 
 
 def _binary_dice(p: np.ndarray, t: np.ndarray) -> float:

@@ -13,6 +13,7 @@ Two segmentation paths:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -25,6 +26,8 @@ from ..models import BrainTumorClassifier, UNet3D
 from ..ops.resize import resize_trilinear
 from . import cropping
 from .sliding_window import make_sw_predictor
+
+logger = logging.getLogger(__name__)
 
 Array = jax.Array
 
@@ -112,13 +115,26 @@ class Predictor:
         return jnp.mean(jnp.concatenate(back, axis=0), axis=0)
 
     def _canon(self, volume: np.ndarray) -> np.ndarray:
-        """(D,H,W[,C]) host array -> (D,H,W,in_channels) float32."""
+        """(D,H,W[,C]) host array -> (D,H,W,in_channels) float32.
+
+        Partial modality sets (the CLI accepts 2-3 of the 4 BraTS
+        files) tile the AVAILABLE channels cyclically — every real
+        modality is used, none silently discarded — with a warning;
+        single-channel input reproduces the reference's stack-x4
+        (``main.py:409``). Extra channels truncate."""
         vol = np.asarray(volume, np.float32)
         if vol.ndim == 3:
             vol = vol[..., None]
         want_c = self.config.model.in_channels
-        if vol.shape[-1] != want_c:
-            vol = np.repeat(vol[..., :1], want_c, axis=-1)
+        c = vol.shape[-1]
+        if c != want_c:
+            if c > 1:
+                logger.warning(
+                    "input has %d of %d expected modalities; tiling "
+                    "the available channels (quality may degrade)",
+                    c, want_c)
+            reps = -(-want_c // c)
+            vol = np.concatenate([vol] * reps, axis=-1)[..., :want_c]
         return vol
 
     def _segment_logits(self, vol: np.ndarray, mode: str
@@ -231,11 +247,11 @@ class Predictor:
         if segmentation is not None and not (np.asarray(segmentation) > 0
                                              ).any():
             return "No Tumor Detected", 0.95
-        vol = jnp.asarray(volume, jnp.float32)
-        if vol.ndim == 3:
-            vol = vol[..., None]
+        # same cyclic-tiling policy as _canon: use every real modality
+        vol = jnp.asarray(self._canon(np.asarray(volume)), jnp.float32)
         if vol.shape[-1] != 4:
-            vol = jnp.repeat(vol[..., :1], 4, axis=-1)
+            reps = -(-4 // vol.shape[-1])
+            vol = jnp.concatenate([vol] * reps, axis=-1)[..., :4]
         logits = self._classify(self.cls_variables, vol)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         idx = int(np.argmax(probs))
@@ -290,12 +306,10 @@ class Predictor:
         if batch_stats is not None:
             self.seg_variables = {**self.seg_variables,
                                   "batch_stats": batch_stats}
-        ic = self.config.inference
-        self._sw = make_sw_predictor(
-            self.seg_model, self.seg_variables, roi_size=ic.roi_size,
-            overlap=ic.overlap, sw_batch_size=ic.sw_batch_size,
-            blend_mode=ic.blend_mode, sigma_scale=ic.gaussian_sigma_scale)
-        # _whole/_classify take variables as runtime arguments; no re-jit
+        # _whole/_classify take variables as runtime arguments, and the
+        # sliding-window predictor reads them from a mutable slot —
+        # adopting new weights never retraces any compiled program
+        self._sw.set_variables(self.seg_variables)
 
 
 def preprocess_image(path_or_array, target_size=(128, 128, 128)

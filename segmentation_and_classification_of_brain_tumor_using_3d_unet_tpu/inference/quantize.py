@@ -44,11 +44,13 @@ def _rename(tree: Any) -> Any:
 
 
 def quant_scales_from_stats(stats: Dict, margin: float = 1.0) -> Dict:
-    """Map per-layer max|activation| to int8 scales (absmax/127).
+    """Map per-layer max|activation| to int8 scales (absmax*margin/127).
 
-    ``margin`` > 1 clips the top of the range (e.g. 0.999-quantile
-    behavior via margin < 1 is NOT supported — stats are plain maxima);
-    margin < 1 trades clipping for finer resolution.
+    ``margin`` > 1 WIDENS the representable range beyond the observed
+    absmax (coarser resolution, headroom against unseen outliers, no
+    clipping); ``margin`` < 1 narrows it — finer resolution at the cost
+    of clipping the top of the range (stats are plain maxima, so this
+    approximates a quantile cut).
     """
     scaled = jax.tree_util.tree_map(
         lambda a: jnp.maximum(a * margin, 1e-6) / 127.0, stats)

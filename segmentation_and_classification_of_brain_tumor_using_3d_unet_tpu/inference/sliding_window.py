@@ -172,7 +172,15 @@ def make_sw_predictor(model, variables,
                       overlap: float = 0.5, sw_batch_size: int = 4,
                       blend_mode: str = "gaussian",
                       sigma_scale: float = 0.125):
-    """Bind a flax model into a jitted volume -> logits function."""
+    """Bind a flax model into a jitted volume -> logits function.
+
+    Weights live in a mutable slot read per call (``predict
+    .set_variables(new_vars)``): ``apply_fn``'s identity is a static
+    jit key inside ``sliding_window_inference``, so swapping weights by
+    rebuilding the closure would retrace/recompile the sliding-window
+    program (30-150 s cold) even though the variables are already a
+    runtime argument."""
+    state = {"variables": variables}
 
     def apply_fn(vars_, patches):
         out = model.apply(vars_, patches, train=False)
@@ -180,9 +188,11 @@ def make_sw_predictor(model, variables,
 
     def predict(volume: Array) -> Array:
         return sliding_window_inference(
-            variables, volume, apply_fn, roi_size=tuple(roi_size),
+            state["variables"], volume, apply_fn,
+            roi_size=tuple(roi_size),
             overlap=overlap, sw_batch_size=sw_batch_size,
             blend_mode=blend_mode, sigma_scale=sigma_scale,
             out_channels=getattr(model, "out_channels", 4))
 
+    predict.set_variables = lambda v: state.__setitem__("variables", v)
     return predict

@@ -29,14 +29,13 @@ __all__ = ["make_dp_segmenter", "segment_cohort",
            "make_dp_whole_predictor", "segment_cohort_whole"]
 
 
-def make_dp_segmenter(model, variables, mesh: Mesh) -> Callable:
-    """Bind ``model`` into a jitted mesh-sharded batch segmenter.
-
-    Returns ``segment(vols) -> labels`` mapping (N, D, H, W, C) float
-    volumes to (N, D, H, W) int8 label maps, with N sharded over the
-    mesh's ``data`` axis. N must be divisible by the data-axis size
-    (use ``segment_cohort`` for arbitrary N).
-    """
+@functools.lru_cache(maxsize=8)
+def _dp_run(model, mesh: Mesh) -> Callable:
+    """One jitted program per (model config, mesh) — flax modules are
+    frozen dataclasses, so this memoization keeps jax.jit's cache hot
+    across repeated ``segment_cohort`` calls (a fresh closure per call
+    would retrace every wave; variables stay a runtime argument, so
+    weight updates do NOT invalidate it)."""
     bs, rep = batch_sharding(mesh), replicated(mesh)
 
     @functools.partial(jax.jit, in_shardings=(rep, bs),
@@ -46,6 +45,18 @@ def make_dp_segmenter(model, variables, mesh: Mesh) -> Callable:
         logits = out["logits"] if isinstance(out, dict) else out
         return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
+    return run
+
+
+def make_dp_segmenter(model, variables, mesh: Mesh) -> Callable:
+    """Bind ``model`` into a jitted mesh-sharded batch segmenter.
+
+    Returns ``segment(vols) -> labels`` mapping (N, D, H, W, C) float
+    volumes to (N, D, H, W) int8 label maps, with N sharded over the
+    mesh's ``data`` axis. N must be divisible by the data-axis size
+    (use ``segment_cohort`` for arbitrary N).
+    """
+    run = _dp_run(model, mesh)
     return lambda vols: run(variables, vols)
 
 
@@ -82,6 +93,13 @@ def make_dp_whole_predictor(model, variables, mesh: Mesh,
     counterpart of ``Predictor._whole_volume_logits``,
     reference semantics ``main.py:382-398``).
     """
+    run = _dp_whole_run(model, mesh, tuple(model_size))
+    return lambda vols: run(variables, vols)
+
+
+@functools.lru_cache(maxsize=8)
+def _dp_whole_run(model, mesh: Mesh, model_size) -> Callable:
+    """Memoized like :func:`_dp_run` (same retrace-avoidance)."""
     from ..ops.resize import resize_trilinear
 
     bs, rep = batch_sharding(mesh), replicated(mesh)
@@ -97,7 +115,7 @@ def make_dp_whole_predictor(model, variables, mesh: Mesh,
         return (jnp.argmax(probs, axis=-1).astype(jnp.int8),
                 jnp.max(probs, axis=-1).astype(jnp.float32))
 
-    return lambda vols: run(variables, vols)
+    return run
 
 
 def segment_cohort_whole(model, variables, mesh: Mesh, volumes,

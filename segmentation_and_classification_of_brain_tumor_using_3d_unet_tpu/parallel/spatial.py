@@ -39,9 +39,12 @@ def constrain_spatial(x: jax.Array, mesh: Mesh,
 
 
 def halo_exchange_d(x_shard: jax.Array, halo: int,
-                    axis_name: str = "space") -> jax.Array:
+                    axis_name: str = "space",
+                    boundary: str = "edge") -> jax.Array:
     """Inside shard_map: pad a (B, D_shard, H, W, C) shard with ``halo``
-    slices from its D-neighbours (edge-clamp at the volume boundary).
+    slices from its D-neighbours. ``boundary`` fills the global volume
+    ends: "edge" clamps with the shard's own edge slice; "zero" matches
+    the zero-pad SAME convs this repo uses (``ops/conv.py``).
 
     Uses two ``ppermute`` rings (up and down) over ICI.
     """
@@ -55,26 +58,33 @@ def halo_exchange_d(x_shard: jax.Array, halo: int,
     from_left = jax.lax.ppermute(hi, axis_name, fwd)    # left nbr's tail
     from_right = jax.lax.ppermute(lo, axis_name, bwd)   # right nbr's head
 
-    # boundary shards clamp with their own edge (SAME-padding semantics
-    # are applied by the caller's conv; here we only replicate edges)
-    left_pad = jnp.where(idx == 0, x_shard[:, :1].repeat(halo, 1),
-                         from_left)
-    right_pad = jnp.where(idx == n - 1,
-                          x_shard[:, -1:].repeat(halo, 1), from_right)
+    if boundary == "zero":
+        edge_lo = edge_hi = jnp.zeros_like(lo)
+    else:
+        edge_lo = x_shard[:, :1].repeat(halo, 1)
+        edge_hi = x_shard[:, -1:].repeat(halo, 1)
+    left_pad = jnp.where(idx == 0, edge_lo, from_left)
+    right_pad = jnp.where(idx == n - 1, edge_hi, from_right)
     return jnp.concatenate([left_pad, x_shard, right_pad], axis=1)
 
 
 def sharded_conv3d(mesh: Mesh, conv_fn: Callable,
                    axis: str = "space") -> Callable:
     """Wrap a SAME 3x3x3 conv ``conv_fn(x) -> y`` into a D-sharded
-    version with explicit halo exchange.
+    version with explicit halo exchange, exactly reproducing the
+    global conv: global boundaries are ZERO-filled to match the
+    zero-pad SAME convs this repo uses (``ops/conv.py``) — the trimmed
+    first/last output rows then see [0, x0, x1] exactly as the
+    unsharded conv does.
 
     ``conv_fn`` must be shape-preserving in D (SAME padding). The wrapper
-    runs it per-shard in VALID mode over the halo-extended shard.
+    runs it per-shard over the halo-extended shard and trims the halo
+    rows from the output.
     """
 
     def shard_body(x_shard):
-        xh = halo_exchange_d(x_shard, halo=1, axis_name=axis)
+        xh = halo_exchange_d(x_shard, halo=1, axis_name=axis,
+                             boundary="zero")
         y = conv_fn(xh)
         return y[:, 1:-1]     # drop halo rows from the SAME-conv output
 

@@ -229,3 +229,88 @@ def test_brats_labels_export(cohort, tmp_path):
     assert 3 not in np.unique(b)
     np.testing.assert_array_equal(b == 4, a == 3)
     np.testing.assert_array_equal(b[b != 4], a[a != 3])
+
+
+def test_discover_flat_multicase_directory(tmp_path):
+    """A flat directory holding several cases' modality files (no
+    subdirs) yields one case per prefix — previously only the
+    alphabetically-first case survived, silently dropping the rest."""
+    for cid in ("caseA", "caseB"):
+        for m in ("t1c", "t2f"):
+            np.save(tmp_path / f"{cid}_{m}.npy",
+                    np.zeros((8, 8, 8), np.float32))
+    np.save(tmp_path / "caseB_seg.npy", np.zeros((8, 8, 8), np.uint8))
+    cases = discover_cases(str(tmp_path), BRATS_MODALITIES)
+    assert [c["case_id"] for c in cases] == ["caseA", "caseB"]
+    assert all(len(c["images"]) == 2 for c in cases)
+    assert cases[0]["seg"] is None and cases[1]["seg"]
+
+
+def test_dotted_case_ids_survive_stemming(tmp_path):
+    """Case ids containing dots (BIDS-style) must not truncate at the
+    first dot — distinct cases previously collided."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference._files import (
+        volume_stem)
+    assert volume_stem("sub-01.ses-02_seg.nii.gz") == "sub-01.ses-02_seg"
+    assert volume_stem("plain.npy") == "plain"
+    p = tmp_path / "sub-01.ses-02.nii"
+    import numpy as _np
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (
+        nifti)
+    nifti.save(str(p), _np.zeros((4, 4, 4), _np.float32))
+    cases = discover_cases(str(p), BRATS_MODALITIES)
+    assert cases[0]["case_id"] == "sub-01.ses-02"
+
+
+def test_partial_modalities_tile_not_collapse():
+    """A 2-of-4-modality volume uses BOTH channels (cyclic tiling), not
+    channel 0 repeated — real modalities were silently discarded."""
+    import dataclasses
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+        Config)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import (
+        Predictor)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, features=(8, 16),
+                                  in_channels=4,
+                                  compute_dtype="float32", remat=False),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)))
+    pred = Predictor(cfg)
+    two = np.stack([np.full((8, 8, 8), 1.0, np.float32),
+                    np.full((8, 8, 8), 2.0, np.float32)], axis=-1)
+    out = pred._canon(two)
+    assert out.shape[-1] == 4
+    np.testing.assert_array_equal(out[..., 2], two[..., 0])
+    np.testing.assert_array_equal(out[..., 3], two[..., 1])
+
+
+def test_weight_adoption_keeps_sliding_window_program(tmp_path):
+    """load_seg_params swaps weights through the predictor's mutable
+    slot — the sliding-window callable identity (jit's static key) must
+    survive, and the new weights must take effect."""
+    import dataclasses
+    import jax
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+        Config)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import (
+        Predictor)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, features=(8, 16),
+                                  in_channels=1,
+                                  compute_dtype="float32", remat=False),
+        data=dataclasses.replace(cfg.data, image_size=(16, 16, 16)),
+        inference=dataclasses.replace(cfg.inference,
+                                      roi_size=(16, 16, 16)))
+    pred = Predictor(cfg)
+    sw_before = pred._sw
+    vol = np.random.default_rng(0).normal(
+        0.5, 0.2, (16, 16, 16)).astype(np.float32)
+    c1 = pred.segment_with_confidence(vol, mode="sliding_window")[1]
+    new_params = jax.tree_util.tree_map(
+        lambda p: p + 0.05, pred.seg_variables["params"])
+    pred.load_seg_params(new_params)
+    assert pred._sw is sw_before          # no retrace-forcing rebuild
+    c2 = pred.segment_with_confidence(vol, mode="sliding_window")[1]
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))

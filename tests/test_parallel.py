@@ -177,3 +177,23 @@ def test_dp_batch_inference_matches_single_device(rng):
     mesh = create_mesh(8, 1)
     got = segment_cohort(model, vars_, mesh, vols)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_conv3d_wrapper_matches_global(rng):
+    """sharded_conv3d (the SAME-conv wrapper, zero global boundaries)
+    == the unsharded zero-pad SAME conv — including the first/last D
+    slices, which edge-replicated halos used to get wrong."""
+    mesh = create_mesh(1, 8)
+    x = jnp.asarray(rng.normal(size=(1, 32, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)).astype(np.float32))
+
+    def conv_same(v):
+        return jax.lax.conv_general_dilated(
+            v, w, (1, 1, 1), "SAME",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                v.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC")))
+
+    want = conv_same(x)
+    got = sharded_conv3d(mesh, conv_same)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
