@@ -117,9 +117,22 @@ class DeviceDataLoader:
             entry = (np.asarray(out["image"][0], np.float32),
                      np.asarray(out["mask"][0], np.int32))
         else:
-            # bbox from the RAW image (z-scoring shifts exact zeros)
+            # bbox from the RAW image (z-scoring shifts exact zeros),
+            # rounded up to multiples of 32 within the volume: the
+            # jitted normalize_batch compiles per SHAPE, and raw
+            # per-patient bboxes are all distinct — a 200-patient first
+            # epoch would pay ~200 cold XLA compiles (30-150 s each on
+            # this attach). Bucketed bboxes reuse a handful of programs
+            # and only pull extra background (zeros the uncropped
+            # volume contained anyway) into the crop.
             lo, hi = cropping.nonzero_bbox(img)
-            sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+            full = img.shape[:3]
+            bucket = cropping.bucket_shape(
+                [h - l for l, h in zip(lo, hi)], full,
+                multiple=32, min_size=32)
+            offs = cropping.crop_offsets((lo, hi), bucket, full)
+            sl = tuple(slice(o, min(o + b, f))
+                       for o, b, f in zip(offs, bucket, full))
             out = normalize_batch(
                 jax.device_put(img[sl][None]),
                 jax.device_put(np.ascontiguousarray(
@@ -180,35 +193,70 @@ class DeviceDataLoader:
         key = jax.random.PRNGKey(self.seed + 1000 * self._epoch)
         keys = jax.random.split(key, max(len(batches), 1))
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        closed = threading.Event()   # consumer gone: stop producing
 
         def producer():
+            from collections import deque
+
+            def put(obj) -> bool:
+                """Deliver unless the consumer abandoned the epoch —
+                a plain blocking put would pin this thread (and every
+                assembled batch) forever when the generator is dropped
+                mid-epoch (e.g. a re-raised decode error)."""
+                while not closed.is_set():
+                    try:
+                        out_q.put(obj, timeout=0.5)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
+            inflight: "deque" = deque()
             try:
+                # submit lazily with a bounded in-flight window:
+                # Executor.map submits the WHOLE epoch up front, so
+                # finished batches buffer in futures and the bounded
+                # out_q stops limiting host memory
+                window = self.num_workers + max(self.prefetch, 1)
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for host in pool.map(self._assemble, batches):
-                        out_q.put(host)
+                    alive = True
+                    for b in batches:
+                        inflight.append(pool.submit(self._assemble, b))
+                        if len(inflight) >= window:
+                            if not put(inflight.popleft().result()):
+                                alive = False
+                                break
+                    while alive and inflight:
+                        if not put(inflight.popleft().result()):
+                            break
+                    for f in inflight:
+                        f.cancel()
             except Exception as e:   # surface decode errors to consumer
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(_STOP)
+                put(_STOP)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
         i = 0
-        while True:
-            host = out_q.get()
-            if host is _STOP:
-                break
-            if isinstance(host, Exception):
-                raise host
-            dev_img = jax.device_put(host["image"], self.sharding)
-            dev_mask = jax.device_put(host["mask"], self.sharding)
-            if self.augment:
-                yield augment_batch(dev_img, dev_mask, keys[i],
-                                    aug_cfg=self.aug_cfg)
-            else:
-                yield {"image": dev_img, "mask": dev_mask}
-            i += 1
+        try:
+            while True:
+                host = out_q.get()
+                if host is _STOP:
+                    break
+                if isinstance(host, Exception):
+                    raise host
+                dev_img = jax.device_put(host["image"], self.sharding)
+                dev_mask = jax.device_put(host["mask"], self.sharding)
+                if self.augment:
+                    yield augment_batch(dev_img, dev_mask, keys[i],
+                                        aug_cfg=self.aug_cfg)
+                else:
+                    yield {"image": dev_img, "mask": dev_mask}
+                i += 1
+        finally:
+            closed.set()   # unblock the producer if we leave early
 
 
 def create_brats_data_loaders(data_dir: str, batch_size: int = 2,

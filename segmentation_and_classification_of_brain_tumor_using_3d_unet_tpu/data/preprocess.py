@@ -80,17 +80,25 @@ def augment_pair(key: jax.Array, image: Array, seg: Array,
      k_int, k_gam_p, k_gam) = jax.random.split(key, 10)
 
     # --- random rot90 in the (H, W) plane, k in {1,2,3} ---
+    # k=1/3 swap H and W, so under a traced cond every branch must
+    # return the same shape: only square (H == W) volumes get the full
+    # k set; rectangular ones (the high_quality preset's (192,192,128)
+    # has H=192, W=128) keep the shape-preserving k=2 (180 deg) only
+    # instead of crashing at trace with a branch-aval mismatch
+    square = image.shape[1] == image.shape[2]
     do_rot = jax.random.bernoulli(k_rot, cfg.rot90_prob)
-    k_val = jax.random.randint(k_rotk, (), 1, 4)
+    k_val = (jax.random.randint(k_rotk, (), 1, 4) if square
+             else jnp.int32(2))
 
     def rotk(k):
         return (lambda pair: (jnp.rot90(pair[0], k, axes=(1, 2)),
                               jnp.rot90(pair[1], k, axes=(1, 2))))
 
+    branches = ([rotk(1), rotk(2), rotk(3)] if square
+                else [rotk(2), rotk(2), rotk(2)])
     image, seg = jax.lax.cond(
         do_rot,
-        lambda pair: jax.lax.switch(k_val - 1,
-                                    [rotk(1), rotk(2), rotk(3)], pair),
+        lambda pair: jax.lax.switch(k_val - 1, branches, pair),
         lambda pair: pair,
         (image, seg),
     )

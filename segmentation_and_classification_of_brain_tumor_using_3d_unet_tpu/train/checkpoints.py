@@ -39,11 +39,19 @@ def save_checkpoint(path: str, state: TrainState,
     if state.ema_params is not None:
         payload["ema_params"] = state.ema_params
     ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(os.path.join(path, "state")):
-        import shutil
-        shutil.rmtree(os.path.join(path, "state"))
-    ckptr.save(os.path.join(path, "state"), payload)
+    # write-then-swap: deleting the old best BEFORE the (possibly
+    # hundreds-of-MB, interruptible) save would leave zero usable
+    # checkpoints if the process dies mid-write
+    state_dir = os.path.join(path, "state")
+    tmp_dir = os.path.join(path, "state.tmp")
+    import shutil
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    ckptr.save(tmp_dir, payload)
     ckptr.wait_until_finished()
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.rename(tmp_dir, state_dir)
     with open(os.path.join(path, _META), "w") as f:
         json.dump({
             "best_dice": float(best_dice),

@@ -130,8 +130,10 @@ def train_main(argv: Optional[Sequence[str]] = None):
         logger.warning("no training data found in %s — generating "
                        "synthetic fallback (reference train_model.py:162)",
                        args.data_dir)
+        fb_shape = (tuple(args.synthetic_shape)
+                    if args.synthetic_shape else (240, 240, 155))
         create_enhanced_synthetic_data(max(args.num_samples, 10),
-                                       args.data_dir)
+                                       args.data_dir, shape=fb_shape)
         train_loader, val_loader = create_brats_data_loaders(
             args.data_dir, batch_size=args.batch_size,
             num_workers=args.num_workers, image_size=cfg.data.image_size,

@@ -211,6 +211,23 @@ class ModernBrainTumorTrainer:
         (reference ``training.py:238-276``)."""
         logger.info("training %s for %d epochs", self.experiment_name,
                     num_epochs)
+        if self._pending_resume and self.state is None:
+            # the resume (which sets start_epoch/best_dice/history) is
+            # applied lazily at first-batch time; force it NOW so the
+            # epoch range below starts where the checkpoint left off
+            # instead of re-running epochs 0..start_epoch
+            first = next(iter(train_loader), None)
+            if first is not None:
+                n = (len(train_loader)
+                     if hasattr(train_loader, "__len__") else 1)
+                self._ensure_state(first, n)
+        no_val = (hasattr(val_loader, "__len__")
+                  and len(val_loader) == 0)
+        if no_val:
+            logger.warning(
+                "validation split is EMPTY: val dice stays 0.0, so "
+                "save-on-best and early stopping are disabled for this "
+                "run (final weights are saved at the end)")
         for epoch in range(self.start_epoch, num_epochs):
             t0 = time.time()
             train_m = self.train_epoch(train_loader, epoch)
@@ -242,7 +259,7 @@ class ModernBrainTumorTrainer:
                 self.patience_counter = 0
                 self.save_model(epoch)
                 self._saved_any = True
-            else:
+            elif not no_val:
                 self.patience_counter += 1
                 if self.patience_counter >= self.patience:
                     logger.info("early stopping at epoch %d", epoch + 1)

@@ -305,3 +305,76 @@ def test_patch_sampling_uniform_and_padding(tmp_path):
                               fg_patch_prob=0.0, num_workers=1)
     b = next(iter(loader))
     assert b["image"].shape == (1, 32, 32, 32, 4)
+
+
+def test_augment_rectangular_hw_traces_and_preserves_shape(rng):
+    """rot90 k=1/3 swap H and W; rectangular volumes must still trace
+    (k=2 only) instead of dying with a lax.cond branch-shape mismatch
+    (the shipped high_quality preset is (192,192,128): H != W)."""
+    import dataclasses
+    import jax
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+        AugmentConfig)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.preprocess import (
+        augment_pair)
+
+    cfg = dataclasses.replace(AugmentConfig(), rot90_prob=1.0)
+    img = jnp.asarray(rng.normal(size=(8, 12, 8, 2)).astype(np.float32))
+    seg = jnp.zeros((8, 12, 8), jnp.int32)
+    out_i, out_s = jax.jit(
+        lambda k, i, s: augment_pair(k, i, s, cfg))(
+        jax.random.PRNGKey(0), img, seg)
+    assert out_i.shape == img.shape and out_s.shape == seg.shape
+    # square volumes still get shape-preserving rotations
+    img_sq = jnp.asarray(rng.normal(size=(8, 12, 12, 2)).astype(np.float32))
+    seg_sq = jnp.zeros((8, 12, 12), jnp.int32)
+    oi, os_ = jax.jit(
+        lambda k, i, s: augment_pair(k, i, s, cfg))(
+        jax.random.PRNGKey(1), img_sq, seg_sq)
+    assert oi.shape == img_sq.shape and os_.shape == seg_sq.shape
+
+
+def test_patch_mode_bboxes_bucket_to_bounded_shapes(tmp_path):
+    """Patch-mode normalization shapes round to multiples of 32
+    (clamped to the volume), bounding the per-patient XLA compile
+    count."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.pipeline import (
+        DeviceDataLoader)
+    d = create_enhanced_synthetic_data(2, str(tmp_path), shape=(70, 60, 50),
+                                       seed=11)
+    ds = BraTS2024Dataset(d, mode="train")
+    loader = DeviceDataLoader(ds, batch_size=1, num_workers=1,
+                              patch_size=(16, 16, 16))
+    for idx in range(len(loader.dataset)):
+        entry = loader._get_normalized(idx)
+        shape = entry[1].shape
+        for s, f in zip(shape, (70, 60, 50)):
+            assert s % 32 == 0 or s == f, (shape, idx)
+
+
+def test_abandoned_loader_does_not_deadlock_producer(tmp_path):
+    """Dropping the epoch iterator mid-epoch must release the producer
+    thread (it previously blocked forever on a full bounded queue,
+    pinning every assembled batch)."""
+    import threading
+    import time as _time
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.pipeline import (
+        DeviceDataLoader)
+    d = create_enhanced_synthetic_data(6, str(tmp_path), shape=(24, 24, 16),
+                                       seed=3)
+    ds = BraTS2024Dataset(d, mode="train")
+    loader = DeviceDataLoader(ds, batch_size=1, num_workers=2,
+                              image_size=(16, 16, 16), prefetch=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)
+    it.close()      # abandon mid-epoch
+    deadline = _time.time() + 15
+    while _time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()
+                 and "ThreadPoolExecutor" not in (t.name or "")]
+        if not extra:
+            break
+        _time.sleep(0.25)
+    assert not extra, f"leaked threads: {extra}"

@@ -434,3 +434,80 @@ def test_ema_decay_out_of_range_rejected():
         with pytest.raises(ValueError, match="ema_decay"):
             make_train_step(tiny_config().replace(ema_decay=bad),
                             donate=False)
+
+
+def test_resume_starts_at_checkpoint_epoch(brats_dir):
+    """train() must apply a queued --resume BEFORE building its epoch
+    range: a run resumed at epoch E of N trains N-E more epochs, not N
+    (the resume used to be applied lazily on the first batch, after
+    range(start_epoch=0, N) was already built)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.trainer import (
+        ModernBrainTumorTrainer)
+
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    train_loader, val_loader = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        checkpoints as ckpt_mod)
+
+    t1 = ModernBrainTumorTrainer(model, config=cfg,
+                                 experiment_name="resume_range")
+    h1 = t1.train(train_loader, val_loader, 2)
+    ckpt = t1._ckpt_path()
+    n1 = len(h1["train_loss"])
+    # stamp a deterministic epoch (save-on-best records the BEST epoch,
+    # which is data-dependent): pretend the run reached epoch 2
+    ckpt_mod.save_checkpoint(ckpt, t1.state, best_dice=t1.best_dice,
+                             epoch=2, metrics_history=t1.metrics_history)
+
+    t2 = ModernBrainTumorTrainer(model, config=cfg,
+                                 experiment_name="resume_range")
+    t2.load_checkpoint(ckpt)
+    h2 = t2.train(train_loader, val_loader, 3)
+    # resumed at epoch 2 of 3: exactly ONE new epoch, not three
+    assert t2.start_epoch == 2
+    assert len(h2["train_loss"]) == n1 + 1
+
+
+def test_checkpoint_overwrite_is_write_then_swap(tmp_path):
+    """Saving over an existing checkpoint must not delete it before the
+    replacement is fully written (no state.tmp left behind; restore
+    works after repeated overwrites)."""
+    import os
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    cfg = tiny_config()
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4), steps_per_epoch=2)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state, best_dice=0.1, epoch=1)
+    save_checkpoint(path, state, best_dice=0.2, epoch=2)
+    assert not os.path.exists(os.path.join(path, "state.tmp"))
+    restored, meta = restore_checkpoint(path, state)
+    assert meta["best_dice"] == pytest.approx(0.2)
+
+
+def test_empty_validation_split_disables_early_stopping(tmp_path):
+    """No val data -> every epoch 'fails to improve' dice 0.0; early
+    stopping must not fire (previously a patience-length run silently
+    truncated training) and final weights still get saved."""
+    import shutil
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.trainer import (
+        ModernBrainTumorTrainer)
+
+    d = create_enhanced_synthetic_data(3, str(tmp_path / "d"),
+                                       shape=SMALL, seed=9)
+    shutil.rmtree(os.path.join(d, "val"), ignore_errors=True)
+    train_loader, val_loader = create_brats_data_loaders(
+        d, batch_size=1, num_workers=1, image_size=IMG)
+    assert len(val_loader) == 0
+    cfg = tiny_config().replace(early_stopping_patience=1)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    t = ModernBrainTumorTrainer(model, config=cfg,
+                                experiment_name="noval")
+    hist = t.train(train_loader, val_loader, 3)
+    assert len(hist["train_loss"]) == 3      # not stopped at patience=1
+    assert os.path.isdir(t._ckpt_path())     # final weights saved
