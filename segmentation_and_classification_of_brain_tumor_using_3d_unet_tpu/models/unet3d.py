@@ -270,8 +270,12 @@ class UNet3D(nn.Module):
         # even H, W, and the level-0 decoder up must exactly double the
         # level-1 dims back (interior levels reconcile odd sizes via
         # resize_trilinear as before)
+        # quant_mode gates: int8 has no s2d kernels, and CALIB must
+        # trace the normal path too — the s2d conv branch never reaches
+        # the absmax sow, so calibrating with s2d on would leave the
+        # int8 model without act_scale entries for the level-0 blocks
         use_s2d = ((self.s2d_train if train else self.s2d_eval)
-                   and self.fast and self.quant_mode != "int8"
+                   and self.fast and self.quant_mode == "off"
                    and all(s % 2 == 0 for s in full_res))
         skips: List[jax.Array] = []
         deep: List[jax.Array] = []

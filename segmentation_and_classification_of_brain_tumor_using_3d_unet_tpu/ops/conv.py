@@ -388,7 +388,9 @@ class FastConv3D(nn.Module):
     def __call__(self, x):
         k = tuple(self.kernel_size)
         if self.s2d:
-            if k != (3, 3, 3) or self.quant_mode not in ("off", "calib"):
+            # calib excluded: this branch has no absmax sow, so the
+            # model disables s2d for calib/int8 (see UNet3D.use_s2d)
+            if k != (3, 3, 3) or self.quant_mode != "off":
                 raise ValueError("s2d supports 3x3x3 bf16 convs only")
             from .s2d import conv3d_s2d
             cin = x.shape[-1] // 4

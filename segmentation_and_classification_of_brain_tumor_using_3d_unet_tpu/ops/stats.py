@@ -29,7 +29,12 @@ def percentile(x: jax.Array, q, axis=None) -> jax.Array:
         hi = jnp.clip(lo + 1, 0, n - 1)
         w = idx - lo.astype(jnp.float32)
         return s[lo] * (1.0 - w) + s[hi] * w
-    # axis-wise: sort along the axis, linear-interpolate per slice
+    # axis-wise: sort along the axis, linear-interpolate per slice.
+    # Vector q stacks one result per quantile along a leading axis
+    # (np.percentile semantics); dynamic_index_in_dim needs a scalar,
+    # so the vector case maps the scalar path over q.
+    if q.ndim > 0:
+        return jnp.stack([percentile(x, qi, axis=axis) for qi in q])
     s = jnp.sort(x.astype(jnp.float32), axis=axis)
     n = s.shape[axis]
     idx = q / 100.0 * (n - 1)

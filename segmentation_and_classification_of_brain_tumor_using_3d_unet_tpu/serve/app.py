@@ -228,8 +228,15 @@ class BrainTumorApp:
         try:
             if fobj and fobj.get("filename"):
                 filename = fobj["filename"]
+                # uuid suffix: ThreadingHTTPServer handles uploads
+                # concurrently, and two same-named files in the same
+                # second would clobber each other mid-analysis (one
+                # patient would receive the other's report)
+                import uuid
                 filepath = os.path.join(
-                    self.upload_dir, f"{ts}_{secure_filename(filename)}")
+                    self.upload_dir,
+                    f"{ts}_{uuid.uuid4().hex[:8]}_"
+                    f"{secure_filename(filename)}")
                 with open(filepath, "wb") as f:
                     f.write(fobj["data"])
 
@@ -417,7 +424,10 @@ class BrainTumorApp:
             cfg = json.loads(body or b"{}")
         except json.JSONDecodeError:
             cfg = {}
-        n = int(cfg.get("num_samples", 100))
+        # unauthenticated JSON on a 0.0.0.0 socket: cap the magnitudes
+        # (the body-size guard stops huge payloads but not tiny JSON
+        # requesting disk/CPU exhaustion — 10^6 samples of 512^3)
+        n = max(1, min(int(cfg.get("num_samples", 100)), 500))
         try:
             out_dir = resolve_under(self.config.data_dir,
                                     cfg.get("save_dir"))
@@ -426,7 +436,8 @@ class BrainTumorApp:
         if out_dir is None:
             out_dir = os.path.join(self.config.data_dir,
                                    "synthetic", "BraTS2024")
-        shape = tuple(cfg.get("shape", (96, 96, 64)))
+        shape = tuple(max(8, min(int(s), 256))
+                      for s in cfg.get("shape", (96, 96, 64)))[:3]
         create_enhanced_synthetic_data(n, out_dir, shape=shape)
         return self._json({
             "success": True, "num_samples": n, "save_dir": out_dir,

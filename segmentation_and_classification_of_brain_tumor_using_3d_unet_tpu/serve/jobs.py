@@ -52,8 +52,13 @@ class TrainingJobManager:
 
     def start_training_session(self, config: Optional[Dict] = None) -> str:
         config = dict(config or {})
-        session_id = f"train_{time.strftime('%Y%m%d_%H%M%S')}_{len(self._sessions)}"
         with self._lock:
+            # id generated UNDER the lock: two same-second requests
+            # racing on len(self._sessions) would collide, overwriting
+            # each other's session dict and stop Event (the first run
+            # would become unstoppable)
+            session_id = (f"train_{time.strftime('%Y%m%d_%H%M%S')}"
+                          f"_{len(self._sessions)}")
             self._sessions[session_id] = {
                 "status": "starting",
                 "config": config,
@@ -143,10 +148,12 @@ class TrainingJobManager:
                                    ema_eval_state)
 
         stop = self._stop_flags[sid]
-        epochs = int(config.get("epochs", 10))
-        batch_size = int(config.get("batch_size", 2))
+        # unauthenticated JSON: cap magnitudes (a tiny request body can
+        # otherwise demand unbounded CPU/disk — epochs 10^9, 512^3)
+        epochs = max(1, min(int(config.get("epochs", 10)), 10_000))
+        batch_size = max(1, min(int(config.get("batch_size", 2)), 32))
         lr = float(config.get("learning_rate", 1e-4))
-        num_samples = int(config.get("num_samples", 8))
+        num_samples = max(1, min(int(config.get("num_samples", 8)), 500))
         arch = config.get("model_arch", "attention_unet")
         data_dir = config.get("data_dir")
         save_ckpt = bool(config.get("save_checkpoint", True))
@@ -154,7 +161,8 @@ class TrainingJobManager:
         # web sessions train a compact variant for responsiveness unless
         # a full config is requested
         feats = _arch_features(arch)
-        img = tuple(config.get("image_size", (64, 64, 64)))
+        img = tuple(max(8, min(int(s), 256)) for s in
+                    config.get("image_size", (64, 64, 64)))[:3]
 
         self._log(sid, f"preparing data ({num_samples} synthetic samples)")
         if not data_dir:
@@ -218,10 +226,11 @@ class TrainingJobManager:
                 state, m = tstep(state, batch, k)
                 tl.append(m["loss"]); td.append(m["dice"])
             vl, vd = [], []
+            # EMA weights (when tracked) are what we validate and
+            # save on best — same policy as the CLI trainer
+            eval_state = ema_eval_state(state)
             for batch in val_loader:
-                # EMA weights (when tracked) are what we validate and
-                # save on best — same policy as the CLI trainer
-                m = estep(ema_eval_state(state), batch)
+                m = estep(eval_state, batch)
                 vl.append(m["loss"]); vd.append(m["dice"])
             train_loss = float(jnp.mean(jnp.stack(tl))) if tl else 0.0
             val_loss = float(jnp.mean(jnp.stack(vl))) if vl else 0.0

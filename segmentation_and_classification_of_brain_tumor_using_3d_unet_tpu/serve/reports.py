@@ -174,7 +174,12 @@ def generate_clinical_report(metrics: Dict,
     eq_diam = (6.0 * tumor_volume / np.pi) ** (1.0 / 3.0) if (
         tumor_volume > 0) else 0.0
     tumor_pct = 100.0 * tumor_volume / BRAIN_VOLUME_MM3
-    surface_area = 4.0 * np.pi * (eq_diam / 2.0) ** 2
+    # the MEASURED isosurface area (metrics dict) — the sphere-
+    # equivalent 4*pi*r^2 is only a fallback; for the irregular tumors
+    # the risk score flags (compactness < 0.5) the sphere value
+    # understates the real area by 2x+
+    surface_area = float(metrics.get(
+        "surface_area", 4.0 * np.pi * (eq_diam / 2.0) ** 2))
 
     findings: List[str] = [
         f"Heterogeneous enhancing mass identified measuring approximately "

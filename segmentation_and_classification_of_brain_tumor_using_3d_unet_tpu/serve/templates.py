@@ -82,7 +82,8 @@ Mode <select id="mode"><option value="real">real</option>
 
 <script>
 let sessionId = null, poller = null, dropFile = null;
-const diceHist = [];
+let diceHist = [];
+let lastDiceEpoch = -1;
 
 // drag & drop upload zone
 const drop = document.getElementById('drop');
@@ -199,6 +200,8 @@ async function upload() {{
       `<img class="viz" src="${{j.visualizations.analysis}}">` : ''}}`;
 }}
 async function startTraining() {{
+  diceHist = [];        // fresh sparkline per session
+  lastDiceEpoch = -1;
   const cfg = {{
     epochs: +document.getElementById('epochs').value,
     batch_size: +document.getElementById('batch').value,
@@ -235,7 +238,13 @@ async function pollProgress() {{
   if (!sessionId) return;
   const r = await fetch('/training_progress?session_id=' + sessionId);
   const p = await r.json();
-  if (typeof p.dice_score === 'number') diceHist.push(p.dice_score);
+  // one point per completed EPOCH (the 2s poll would otherwise plot
+  // poll count), reset per session in startTraining
+  if (typeof p.dice_score === 'number' &&
+      p.current_epoch > lastDiceEpoch) {{
+    diceHist.push(p.dice_score);
+    lastDiceEpoch = p.current_epoch;
+  }}
   document.getElementById('tstatus').innerHTML =
     `status <b>${{p.status}}</b> — epoch ${{p.current_epoch}}/` +
     `${{p.total_epochs}} — loss ${{p.train_loss}} — dice ` +

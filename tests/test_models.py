@@ -302,3 +302,16 @@ def test_form_override_matches_default(rng, monkeypatch):
     got = model.apply(v, x, train=False)["logits"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_percentile_vector_q_with_axis():
+    """ops.stats.percentile with a vector q AND an axis matches
+    np.percentile (used to crash: dynamic_index_in_dim needs scalars)."""
+    import numpy as np
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.stats import (
+        percentile)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 40)).astype(np.float32)
+    got = np.asarray(percentile(jnp.asarray(x), (1.0, 99.0), axis=1))
+    want = np.percentile(x, (1.0, 99.0), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -123,3 +123,27 @@ def test_int8_conv_forms_agree(rng, form, acc, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=tol, atol=tol * float(jnp.max(jnp.abs(want))))
+
+
+def test_calibration_with_s2d_eval_enabled():
+    """s2d_eval must not break int8 calibration: calib forwards force
+    the normal conv path (the s2d branch has no absmax sow), so every
+    block gets an act_scale and the int8 model applies cleanly."""
+    import numpy as np
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.quantize import (
+        calibrate_int8)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+
+    model = UNet3D(out_channels=4, features=(8, 16), dtype=jnp.float32,
+                   remat=False, s2d_eval=True)
+    x = jnp.zeros((1, 16, 16, 16, 4), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.default_rng(0)
+    vols = [rng.normal(size=(16, 16, 16, 4)).astype(np.float32)]
+    qvars = calibrate_int8(model, variables, vols)
+    q = model.clone(quant_mode="int8")
+    out = q.apply(qvars, x, train=False)["logits"]
+    assert out.shape == (1, 16, 16, 16, 4)
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -781,3 +781,59 @@ def test_degraded_return_mask_never_carries_scan_affine(app, tmp_path):
     p = tmp_path / "d.nii"
     p.write_bytes(raw)
     np.testing.assert_allclose(nifti.load(str(p)).affine, np.eye(4))
+
+
+def test_concurrent_session_ids_unique():
+    """Same-second /start_training requests must not collide on the
+    session id (the second would overwrite the first's session dict and
+    stop Event, making the first run unstoppable)."""
+    import threading
+    mgr = TrainingJobManager()
+    ids = []
+    lock = threading.Lock()
+
+    def go():
+        sid = mgr.start_training_session({"mode": "demo", "epochs": 1})
+        with lock:
+            ids.append(sid)
+
+    threads = [threading.Thread(target=go) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(ids)) == 8
+    for sid in ids:
+        mgr.stop_training_session(sid)
+
+
+def test_web_numeric_inputs_are_capped(monkeypatch, app):
+    """Unauthenticated JSON magnitudes are clamped: a tiny request body
+    must not be able to demand unbounded disk/CPU."""
+    captured = {}
+
+    def fake_gen(n, out_dir, shape=(96, 96, 64), **kw):
+        captured.update(n=n, shape=shape)
+        return out_dir
+
+    import segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.synthetic as synth
+    monkeypatch.setattr(synth, "create_enhanced_synthetic_data",
+                        fake_gen)
+    status, _, payload = _post_json(app, "/generate_synthetic_data", {
+        "num_samples": 10**6, "shape": [4096, 4096, 4096]})
+    assert status == 200 and json.loads(payload)["success"]
+    assert captured["n"] <= 500
+    assert all(s <= 256 for s in captured["shape"])
+
+
+def test_report_uses_measured_surface_area():
+    """The clinical report's surface area is the MEASURED isosurface
+    value from the metrics dict, not a sphere-equivalent recompute
+    (which understates irregular tumors by 2x+)."""
+    metrics = {"tumor_volume_mm3": 4000.0, "surface_area": 3141.5,
+               "compactness": 0.3, "dice_score": 0.9,
+               "hausdorff_distance": 2.0}
+    rep = generate_clinical_report(metrics, filename="t")
+    assert rep["measurements"]["surface_area"] == "3141.5 mm²"
+    joined = " ".join(rep["clinical_notes"]["findings"])
+    assert "3141.5" in joined
