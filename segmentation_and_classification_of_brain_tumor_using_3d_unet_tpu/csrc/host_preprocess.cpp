@@ -38,7 +38,11 @@ struct Header {
     float scl_inter;
 };
 
-bool read_file(const char* path, std::vector<uint8_t>& out) {
+// max_bytes == 0 reads everything; a positive cap stops early (header
+// -only shape queries need just kHdrSize bytes — inflating a whole
+// .nii.gz twice per read doubled the decode cost on this 1-CPU host).
+bool read_file(const char* path, std::vector<uint8_t>& out,
+               size_t max_bytes = 0) {
     const size_t len = std::strlen(path);
     const bool gz = len > 3 && std::strcmp(path + len - 3, ".gz") == 0;
     if (gz) {
@@ -52,26 +56,33 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
         out.clear();
         out.reserve(1 << 24);
         uint8_t buf[1 << 20];
-        int n;
+        int n = 0;
         while ((n = gzread(f, buf, sizeof(buf))) > 0) {
             if (out.size() + size_t(n) > kMaxDecompressed) {
                 gzclose(f);
                 return false;
             }
             out.insert(out.end(), buf, buf + n);
+            if (max_bytes && out.size() >= max_bytes) break;
         }
         gzclose(f);
-        return n == 0;
+        return n >= 0;
     }
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
     std::fseek(f, 0, SEEK_END);
     long sz = std::ftell(f);
+    if (sz < 0) {   // unseekable (FIFO etc.): resize(-1) would throw
+        std::fclose(f);
+        return false;
+    }
     std::fseek(f, 0, SEEK_SET);
-    out.resize(sz);
-    size_t got = std::fread(out.data(), 1, sz, f);
+    size_t want = static_cast<size_t>(sz);
+    if (max_bytes && want > max_bytes) want = max_bytes;
+    out.resize(want);
+    size_t got = std::fread(out.data(), 1, want, f);
     std::fclose(f);
-    return got == static_cast<size_t>(sz);
+    return got == want;
 }
 
 bool parse_header(const uint8_t* raw, size_t n, Header* h) {
@@ -106,26 +117,40 @@ extern "C" {
 // check); returns voxel count, or -1 on error. Call once with out=null
 // to query the shape, then again with a buffer.
 int64_t nifti_read_f32(const char* path, float* out, int64_t out_cap,
-                       int32_t* shape) {
+                       int32_t* shape) try {
     std::vector<uint8_t> raw;
-    if (!read_file(path, raw)) return -1;
+    // header-only read for the shape query (out == null)
+    if (!read_file(path, raw, out ? 0 : static_cast<size_t>(kHdrSize)))
+        return -1;
     Header h;
     if (!parse_header(raw.data(), raw.size(), &h)) return -1;
     int ndim = h.dim[0];
-    if (ndim < 3) return -1;
+    if (ndim < 3 || ndim > 7) return -1;   // NIfTI-1: dim[0] in 1..7
     int64_t count = 1;
     for (int i = 0; i < 3; ++i) {
+        if (h.dim[i + 1] < 1) return -1;   // corrupt/negative dims
         shape[i] = h.dim[i + 1];
         count *= shape[i];
     }
     for (int i = 4; i <= ndim; ++i)
         if (h.dim[i] > 1) return -2;   // >3D volumes unsupported here
+    // element size from DATATYPE — bitpix is an independent header
+    // field an attacker can shrink to sneak an undersized data section
+    // past the bounds check and make convert<T> read out of bounds
+    size_t esize;
+    switch (h.datatype) {
+        case 2: case 256:  esize = 1; break;
+        case 4: case 512:  esize = 2; break;
+        case 8: case 16:   esize = 4; break;
+        case 64:           esize = 8; break;
+        default:           return -5;
+    }
     if (!out) return count;
     if (out_cap < count) return -3;
 
     size_t off = h.vox_offset > 0 ? static_cast<size_t>(h.vox_offset)
                                   : kHdrSize;
-    size_t need = off + static_cast<size_t>(count) * (h.bitpix / 8);
+    size_t need = off + static_cast<size_t>(count) * esize;
     if (raw.size() < need) return -4;
     const uint8_t* data = raw.data() + off;
     float slope = (h.scl_slope == 0.0f || h.scl_slope == 1.0f)
@@ -142,6 +167,10 @@ int64_t nifti_read_f32(const char* path, float* out, int64_t out_cap,
         default:  return -5;
     }
     return count;
+} catch (...) {
+    // never let C++ exceptions (bad_alloc, length_error) cross the C
+    // ABI into ctypes — that std::terminate()s the serving process
+    return -1;
 }
 
 // Half-pixel-center trilinear resample, Fortran-order buffers.
@@ -214,14 +243,9 @@ void zoom_nearest_f32(const float* in, int32_t ix, int32_t iy,
 // In-place percentile clip (exact, via nth_element on a copy) then
 // z-score ((x-mean)/(std+eps)); matches reference training.py:117-132.
 void clip_zscore_f32(float* buf, int64_t n, float p_lo, float p_hi,
-                     float eps) {
+                     float eps) try {
     if (n <= 0) return;
     std::vector<float> tmp(buf, buf + n);
-    auto kth = [&](double q) {
-        int64_t k = static_cast<int64_t>(q / 100.0 * (n - 1));
-        std::nth_element(tmp.begin(), tmp.begin() + k, tmp.end());
-        return tmp[k];
-    };
     // linear interpolation between adjacent order stats
     auto pct = [&](double q) {
         double idx = q / 100.0 * (n - 1);
@@ -249,6 +273,9 @@ void clip_zscore_f32(float* buf, int64_t n, float p_lo, float p_hi,
     float m = static_cast<float>(mean);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) buf[i] = (buf[i] - m) / denom;
+} catch (...) {
+    // bad_alloc on the tmp copy must not cross the C ABI; leave the
+    // buffer unnormalized (the caller's output is still finite data)
 }
 
 int host_threads() {

@@ -104,21 +104,29 @@ def read_nifti(path: str) -> Optional[np.ndarray]:
         path.encode(), buf.ctypes.data_as(ctypes.c_void_p), count, shape)
     if got != count:
         return None
-    # NIfTI stores x-fastest; view as (x,y,z) F-order == (z,y,x) C-order
-    return np.ascontiguousarray(
-        buf.reshape((shape[2], shape[1], shape[0]))).transpose(2, 1, 0)
+    try:
+        # NIfTI stores x-fastest; view as (x,y,z) F-order == (z,y,x)
+        # C-order. The contract is None-on-unsupported (caller falls
+        # back to the Python codec) — a corrupt header must not raise.
+        return np.ascontiguousarray(
+            buf.reshape((shape[2], shape[1], shape[0]))).transpose(2, 1, 0)
+    except ValueError:
+        return None
 
 
 def zoom(vol: np.ndarray, size: Tuple[int, int, int],
          order: int = 1) -> Optional[np.ndarray]:
     """Resample C-contiguous (a,b,c) float32 volume to ``size``."""
     lib = get_lib()
-    if lib is None or vol.ndim != 3:
+    # only orders 0 (nearest) and 1 (trilinear) exist natively; higher
+    # spline orders must fall back to scipy, not silently degrade to
+    # linear (results would depend on whether g++ was available)
+    if lib is None or vol.ndim != 3 or order not in (0, 1):
         return None
     src = np.ascontiguousarray(vol, np.float32)
     out = np.empty(tuple(size), np.float32)
     # C-order (a,b,c): minor axis is c == native 'x'
-    fn = lib.zoom_trilinear_f32 if order >= 1 else lib.zoom_nearest_f32
+    fn = lib.zoom_trilinear_f32 if order == 1 else lib.zoom_nearest_f32
     fn(src.ctypes.data_as(ctypes.c_void_p),
        src.shape[2], src.shape[1], src.shape[0],
        out.ctypes.data_as(ctypes.c_void_p),
@@ -131,7 +139,9 @@ def clip_zscore(vol: np.ndarray, p_lo: float = 1.0, p_hi: float = 99.0,
     lib = get_lib()
     if lib is None:
         return None
-    buf = np.ascontiguousarray(vol, np.float32).copy()
+    # one copy (in-place C call needs owned contiguous f32; an
+    # ascontiguousarray().copy() chain duplicated the volume twice)
+    buf = np.array(vol, np.float32, order="C")
     lib.clip_zscore_f32(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
                         p_lo, p_hi, eps)
     return buf

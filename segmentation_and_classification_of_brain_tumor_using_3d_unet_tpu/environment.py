@@ -83,11 +83,16 @@ def ensure_compilation_cache(cache_dir: Optional[str] = None) -> str:
     XLA compiles of the full-resolution normalize/augment/train programs
     take 30-150 s each on this class of attach; the persistent cache
     makes every process after the first start in seconds. Honors
-    ``SEG3D_JAX_CACHE_DIR``; defaults to ``~/.cache/seg3d-unet-jax``.
+    ``SEG3D_JAX_CACHE_DIR``; defaults to the repo-level ``.jax_cache/``
+    — the SAME directory bench.py and benchmarks/ hardcode, so serve/
+    train/CLI processes and benchmark processes share one cache
+    instead of each paying their own cold compiles.
     """
     import jax
+    repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              os.pardir, ".jax_cache")
     cache_dir = (cache_dir or os.environ.get("SEG3D_JAX_CACHE_DIR")
-                 or os.path.expanduser("~/.cache/seg3d-unet-jax"))
+                 or os.path.abspath(repo_cache))
     os.makedirs(cache_dir, exist_ok=True)
     try:
         if jax.config.jax_compilation_cache_dir != cache_dir:

@@ -77,3 +77,49 @@ def test_dataset_uses_native(tmp_path, rng, lib):
     nifti.save(p, data)
     got = load_any_volume(p)
     np.testing.assert_allclose(got, data, atol=1e-6)
+
+
+def test_native_rejects_corrupt_headers(tmp_path, rng, lib):
+    """Malformed NIfTI headers must yield None (Python-codec fallback),
+    never an OOB read or an exception across the C ABI: a lying bitpix
+    (smaller than the datatype's element size), negative dims, and
+    truncated/garbage files."""
+    import struct
+
+    vol = rng.normal(size=(6, 6, 6)).astype(np.float64)
+    good = tmp_path / "good.nii"
+    nifti.save(str(good), vol)          # float64 -> datatype 64
+    raw = bytearray(good.read_bytes())
+
+    # 1) bitpix lies small (8) while datatype stays float64 (8 bytes):
+    #    the old size check believed bitpix and read 8x out of bounds
+    lying = bytearray(raw)
+    struct.pack_into("<h", lying, 72, 8)
+    # truncate the data section so the honest check must fail
+    lying = lying[:352 + 6 * 6 * 6 * 1]
+    p = tmp_path / "lying.nii"
+    p.write_bytes(bytes(lying))
+    assert native.read_nifti(str(p)) is None
+
+    # 2) negative dims
+    neg = bytearray(raw)
+    struct.pack_into("<h", neg, 42, -6)          # dim[1] = -6
+    p2 = tmp_path / "neg.nii"
+    p2.write_bytes(bytes(neg))
+    assert native.read_nifti(str(p2)) is None
+
+    # 3) absurd ndim (dim[0] = 30000) — used to read past the header
+    nd = bytearray(raw)
+    struct.pack_into("<h", nd, 40, 30000)
+    p3 = tmp_path / "ndim.nii"
+    p3.write_bytes(bytes(nd))
+    assert native.read_nifti(str(p3)) is None
+
+    # 4) plain garbage
+    p4 = tmp_path / "junk.nii"
+    p4.write_bytes(b"definitely not a nifti file")
+    assert native.read_nifti(str(p4)) is None
+
+    # sanity: the untouched file still decodes
+    out = native.read_nifti(str(good))
+    assert out is not None and out.shape == (6, 6, 6)
