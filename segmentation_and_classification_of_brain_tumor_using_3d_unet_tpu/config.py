@@ -47,7 +47,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"   # conv/matmul dtype; params stay fp32
     param_dtype: str = "float32"
     remat: bool = True                # jax.checkpoint on DoubleConv blocks
-    use_pallas: bool = True           # fused Pallas group-norm kernels
+    # (a ``use_pallas`` group-norm flag was removed in round 3: the
+    # Pallas group-norm kernel measured-and-lost on this libtpu and was
+    # never wired in — a config field must not advertise an unwired
+    # kernel; see benchmarks/RESULTS.md)
     # eval-only space-to-depth level 0 (ops/s2d.py): full-lane conv2d
     # for the N<=32 extremity blocks; exact and checkpoint-compatible.
     # MEASURED AND LOSES on this libtpu (real-chip A/B 2026-08-18:

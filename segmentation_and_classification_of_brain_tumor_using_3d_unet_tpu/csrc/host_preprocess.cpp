@@ -242,9 +242,12 @@ void zoom_nearest_f32(const float* in, int32_t ix, int32_t iy,
 
 // In-place percentile clip (exact, via nth_element on a copy) then
 // z-score ((x-mean)/(std+eps)); matches reference training.py:117-132.
-void clip_zscore_f32(float* buf, int64_t n, float p_lo, float p_hi,
-                     float eps) try {
-    if (n <= 0) return;
+// Returns 0 on success, nonzero when the buffer was left UNNORMALIZED
+// (e.g. bad_alloc on the tmp copy) so the Python wrapper can fall back
+// instead of trusting un-z-scored intensities.
+int clip_zscore_f32(float* buf, int64_t n, float p_lo, float p_hi,
+                    float eps) try {
+    if (n <= 0) return 0;
     std::vector<float> tmp(buf, buf + n);
     // linear interpolation between adjacent order stats
     auto pct = [&](double q) {
@@ -273,9 +276,11 @@ void clip_zscore_f32(float* buf, int64_t n, float p_lo, float p_hi,
     float m = static_cast<float>(mean);
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) buf[i] = (buf[i] - m) / denom;
+    return 0;
 } catch (...) {
-    // bad_alloc on the tmp copy must not cross the C ABI; leave the
-    // buffer unnormalized (the caller's output is still finite data)
+    // bad_alloc on the tmp copy must not cross the C ABI; the buffer
+    // may be partially clipped but is not z-scored — report failure
+    return 1;
 }
 
 int host_threads() {

@@ -70,7 +70,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                         [ctypes.c_void_p] + [ctypes.c_int32] * 3
             lib.zoom_trilinear_f32.argtypes = zoom_args
             lib.zoom_nearest_f32.argtypes = zoom_args
-            lib.clip_zscore_f32.restype = None
+            lib.clip_zscore_f32.restype = ctypes.c_int
             lib.clip_zscore_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,
                 ctypes.c_float, ctypes.c_float]
@@ -142,6 +142,12 @@ def clip_zscore(vol: np.ndarray, p_lo: float = 1.0, p_hi: float = 99.0,
     # one copy (in-place C call needs owned contiguous f32; an
     # ascontiguousarray().copy() chain duplicated the volume twice)
     buf = np.array(vol, np.float32, order="C")
-    lib.clip_zscore_f32(buf.ctypes.data_as(ctypes.c_void_p), buf.size,
-                        p_lo, p_hi, eps)
+    rc = lib.clip_zscore_f32(buf.ctypes.data_as(ctypes.c_void_p),
+                             buf.size, p_lo, p_hi, eps)
+    if rc != 0:
+        # native path failed mid-flight (e.g. bad_alloc); the buffer is
+        # NOT normalized — signal the caller to use the Python fallback
+        logger.warning("native clip_zscore failed (rc=%d); falling back",
+                       rc)
+        return None
     return buf

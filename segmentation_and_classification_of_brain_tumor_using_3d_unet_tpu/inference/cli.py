@@ -82,22 +82,26 @@ def discover_cases(input_path: str,
     # before "_<modality>" — several cases can share one directory
     # (previously only the alphabetically-first case survived)
     files = [f for f in sorted(root.iterdir()) if _is_volume(f)]
-    groups: Dict[str, List[Path]] = {}
+    groups: Dict[str, List[tuple]] = {}
     for f in files:
         if "seg" in f.name:
             continue
-        for m in modalities:
+        for mi, m in enumerate(modalities):
             idx = f.name.find(f"_{m}")
             if idx > 0:
-                groups.setdefault(f.name[:idx], []).append(f)
+                groups.setdefault(f.name[:idx], []).append((mi, f))
                 break
     if len(groups) > 1:
         out = []
         for cid in sorted(groups):
+            # cid + "_" so case_1 never claims case_10's seg file
             seg = [f for f in files
-                   if "seg" in f.name and f.name.startswith(cid)]
+                   if "seg" in f.name and f.name.startswith(cid + "_")]
+            # order channels by the modalities sequence (matching
+            # _case_from_dir), not by filename sort
+            imgs = [str(f) for _, f in sorted(groups[cid])]
             out.append({"case_id": cid,
-                        "images": [str(f) for f in groups[cid]],
+                        "images": imgs,
                         "seg": str(seg[0]) if seg else None})
         return out
     own = _case_from_dir(root, modalities)

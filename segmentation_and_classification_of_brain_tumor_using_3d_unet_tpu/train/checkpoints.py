@@ -64,11 +64,17 @@ def save_checkpoint(path: str, state: TrainState,
 def _saved_tree_keys(state_dir: str):
     """Top-level keys of an on-disk checkpoint pytree (for deciding
     whether it carries ``ema_params`` before building a restore
-    target — orbax refuses structure mismatches in either direction)."""
-    meta = ocp.PyTreeCheckpointer().metadata(state_dir)
-    tree = getattr(meta, "item_metadata", meta)
-    tree = tree.tree if hasattr(tree, "tree") else tree
-    return set(tree) if isinstance(tree, dict) else set()
+    target — orbax refuses structure mismatches in either direction).
+    Empty set when the probe fails (orbax version/layout differences
+    must not break plain restores — the caller falls back to assuming
+    the checkpoint matches the live config)."""
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(state_dir)
+        tree = getattr(meta, "item_metadata", meta)
+        tree = tree.tree if hasattr(tree, "tree") else tree
+        return set(tree) if isinstance(tree, dict) else set()
+    except Exception:
+        return set()
 
 
 def restore_checkpoint(path: str, state: TrainState

@@ -246,6 +246,37 @@ def test_discover_flat_multicase_directory(tmp_path):
     assert cases[0]["seg"] is None and cases[1]["seg"]
 
 
+def test_flat_discovery_seg_prefix_collision(tmp_path):
+    """case_1 must not claim case_10's seg file: the seg match needs
+    the ``cid + "_"`` separator, else sorted() hands case_1 the wrong
+    ground truth and --report metrics silently corrupt."""
+    for cid in ("case_1", "case_10"):
+        for m in ("t1c", "t2f"):
+            np.save(tmp_path / f"{cid}_{m}.npy",
+                    np.zeros((8, 8, 8), np.float32))
+    np.save(tmp_path / "case_10_seg.npy", np.zeros((8, 8, 8), np.uint8))
+    cases = {c["case_id"]: c
+             for c in discover_cases(str(tmp_path), BRATS_MODALITIES)}
+    assert cases["case_1"]["seg"] is None
+    assert cases["case_10"]["seg"].endswith("case_10_seg.npy")
+
+
+def test_flat_discovery_orders_by_modality_sequence(tmp_path):
+    """Flat-dir grouping must order channels by the ``modalities``
+    sequence (like _case_from_dir), not by filename sort — a
+    non-alphabetical modality tuple previously shuffled channels
+    between the two discovery paths."""
+    mods = ("t2w", "t1c")          # deliberately non-alphabetical
+    for cid in ("pA", "pB"):
+        for m in mods:
+            np.save(tmp_path / f"{cid}_{m}.npy",
+                    np.zeros((8, 8, 8), np.float32))
+    cases = discover_cases(str(tmp_path), mods)
+    for c in cases:
+        names = [os.path.basename(p) for p in c["images"]]
+        assert names == [f"{c['case_id']}_{m}.npy" for m in mods]
+
+
 def test_dotted_case_ids_survive_stemming(tmp_path):
     """Case ids containing dots (BIDS-style) must not truncate at the
     first dot — distinct cases previously collided."""

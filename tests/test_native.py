@@ -69,6 +69,30 @@ def test_native_clip_zscore_matches_numpy(rng, lib):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
 
 
+def test_native_clip_zscore_failure_falls_back(rng, lib, monkeypatch):
+    """When the C clip_zscore reports failure (nonzero rc, e.g.
+    bad_alloc on the tmp copy) the wrapper must return None so callers
+    use the Python path — NOT hand back an unnormalized buffer."""
+    class FakeLib:
+        def clip_zscore_f32(self, *a):
+            return 1
+    monkeypatch.setattr(native, "get_lib", lambda: FakeLib())
+    x = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    assert native.clip_zscore(x) is None
+
+
+def test_native_clip_zscore_reports_success(rng, lib):
+    """The rebuilt library returns rc=0 on the happy path (the binding
+    declares restype c_int; a stale void-returning .so would fail)."""
+    import ctypes
+    x = (rng.normal(size=(8, 8, 8)) * 10).astype(np.float32)
+    buf = np.array(x, np.float32, order="C")
+    rc = lib.clip_zscore_f32(buf.ctypes.data_as(ctypes.c_void_p),
+                             buf.size, 1.0, 99.0,
+                             ctypes.c_float(1e-8))
+    assert rc == 0
+
+
 def test_dataset_uses_native(tmp_path, rng, lib):
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.dataset import (
         load_any_volume)

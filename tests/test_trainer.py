@@ -184,6 +184,38 @@ def test_checkpoint_roundtrip(brats_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restore_survives_metadata_probe_failure(brats_dir, tmp_path,
+                                                 monkeypatch):
+    """The EMA-presence probe (orbax metadata()) is best-effort: any
+    orbax version/layout where it raises must NOT break plain restores
+    — the probe falls back to assuming the checkpoint matches the live
+    (non-EMA) config."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        checkpoints as ckpt_mod)
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (1, *IMG, 4))
+    path = str(tmp_path / "ckpt")
+    os.makedirs(path, exist_ok=True)
+    save_checkpoint(path, state, best_dice=0.7, epoch=1,
+                    metrics_history={})
+
+    class Boom:
+        def metadata(self, *a, **kw):
+            raise RuntimeError("layout mismatch")
+    monkeypatch.setattr(ckpt_mod.ocp, "PyTreeCheckpointer", Boom)
+    assert ckpt_mod._saved_tree_keys(os.path.join(path, "state")) == set()
+    state2 = create_train_state(model, cfg, jax.random.PRNGKey(1),
+                                (1, *IMG, 4))
+    restored, meta = restore_checkpoint(path, state2)
+    assert meta["best_dice"] == 0.7
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_metric_shims(rng):
     cfg = tiny_config()
     model = models.UNet3D(out_channels=4, features=FEATS,
