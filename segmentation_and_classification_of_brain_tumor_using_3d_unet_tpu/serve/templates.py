@@ -44,6 +44,17 @@ margin:8px 0}}.bar>div{{height:100%;width:0;background:#2d7ff9;
 transition:width .4s}}
 .badge{{display:inline-block;background:#f0ad4e;color:#fff;
 border-radius:4px;padding:2px 8px;font-size:12px;margin-left:8px}}
+.cards{{display:flex;flex-wrap:wrap;gap:10px;margin:12px 0}}
+.mcard{{flex:1 1 140px;background:#f0f5fb;border-radius:8px;
+padding:10px 14px;text-align:center}}
+.mcard .v{{font-size:20px;font-weight:700;color:#1f2a38}}
+.mcard .l{{font-size:12px;color:#678}}
+.tabs{{display:flex;gap:4px;margin:14px 0 0}}
+.tabs button{{background:#e3e9f0;color:#345;border-radius:6px 6px 0 0}}
+.tabs button.on{{background:#2d7ff9;color:#fff}}
+.tabpane{{display:none;border:1px solid #e3e9f0;border-radius:0 8px 8px 8px;
+padding:12px}}.tabpane.on{{display:block}}
+iframe.v3d{{width:100%;height:480px;border:0;border-radius:8px}}
 </style></head>
 <body>{_HEADER}<main>
 
@@ -175,11 +186,26 @@ async function upload() {{
       href="data:application/gzip;base64,${{j.mask_nifti_base64}}">
       Download segmentation mask (.nii.gz, ${{j.mask_grid}} grid)</a></p>`;
   }}
+  renderResults(j, maskLink);
+}}
+// metric cards + tabbed visualization panes (Summary / MPR / Analysis /
+// 3D viewer) — the richer results layout of the reference UI
+// (templates/index.html:700-940), rebuilt compactly
+function card(label, value) {{
+  return `<div class="mcard"><div class="v">${{value}}</div>
+          <div class="l">${{label}}</div></div>`;
+}}
+function showTab(i) {{
+  document.querySelectorAll('.tabs button').forEach((b, k) =>
+      b.classList.toggle('on', k === i));
+  document.querySelectorAll('.tabpane').forEach((p, k) =>
+      p.classList.toggle('on', k === i));
+}}
+function renderResults(j, maskLink) {{
   const el = document.getElementById('results');
-  el.innerHTML = maskLink + `
-    <h3>${{j.classification.primary_diagnosis}}
-      (conf ${{(j.classification.confidence*100).toFixed(1)}}%,
-       risk ${{j.classification.risk_level}})</h3>
+  const viz = j.visualizations || {{}};
+  const tabs = ['Summary'];
+  const panes = [`
     <table>
     <tr><th>Tumor volume</th><td>${{j.measurements.tumor_volume}}</td></tr>
     <tr><th>% of brain</th><td>${{j.measurements.tumor_percentage}}</td></tr>
@@ -193,11 +219,36 @@ async function upload() {{
       j.clinical_notes.findings.map(x=>'<li>'+x+'</li>').join('')}}</ul>
     <h4>Recommendations</h4><ul>${{
       j.clinical_notes.recommendations.map(x=>'<li>'+x+'</li>').join('')
-    }}</ul>
-    ${{j.visualizations.multiplanar ?
-      `<img class="viz" src="${{j.visualizations.multiplanar}}">` : ''}}
-    ${{j.visualizations.analysis ?
-      `<img class="viz" src="${{j.visualizations.analysis}}">` : ''}}`;
+    }}</ul>`];
+  if (viz.multiplanar) {{
+    tabs.push('Multiplanar');
+    panes.push(`<img class="viz" src="${{viz.multiplanar}}">`);
+  }}
+  if (viz.analysis) {{
+    tabs.push('Analysis');
+    panes.push(`<img class="viz" src="${{viz.analysis}}">`);
+  }}
+  if (viz.visualization_3d) {{
+    tabs.push('3D viewer');
+    panes.push('<iframe class="v3d" id="v3dframe"></iframe>');
+  }}
+  el.innerHTML = maskLink + `
+    <h3>${{j.classification.primary_diagnosis}}</h3>
+    <div class="cards">
+      ${{card('confidence',
+              (j.classification.confidence*100).toFixed(1) + '%')}}
+      ${{card('risk level', j.classification.risk_level)}}
+      ${{card('tumor volume', j.measurements.tumor_volume)}}
+      ${{card('dice', j.quality_metrics.dice_coefficient)}}
+    </div>
+    <div class="tabs">${{tabs.map((t, i) =>
+      `<button onclick="showTab(${{i}})">${{t}}</button>`).join('')}}</div>
+    ${{panes.map(p => `<div class="tabpane">${{p}}</div>`).join('')}}`;
+  if (viz.visualization_3d) {{
+    // srcdoc via property (the plotly document is a full HTML page)
+    document.getElementById('v3dframe').srcdoc = viz.visualization_3d;
+  }}
+  showTab(0);
 }}
 async function startTraining() {{
   diceHist = [];        // fresh sparkline per session
@@ -211,10 +262,19 @@ async function startTraining() {{
     mode: document.getElementById('mode').value,
     data_type: 'synthetic'
   }};
-  const r = await fetch('/start_training', {{method:'POST',
-    headers: {{'Content-Type':'application/json'}},
-    body: JSON.stringify(cfg)}});
-  const j = await r.json();
+  let j;
+  try {{
+    const r = await fetch('/start_training', {{method:'POST',
+      headers: {{'Content-Type':'application/json'}},
+      body: JSON.stringify(cfg)}});
+    j = await r.json();
+  }} catch (e) {{
+    // server unreachable: run a clearly-labeled in-browser simulation
+    // (mirrors the reference UI's offline simulateTraining fallback,
+    // templates/index.html:1447-1492 — no real training happens)
+    simulateTraining(cfg.epochs);
+    return;
+  }}
   if (!j.success) {{
     document.getElementById('tstatus').textContent = 'Error: ' + j.error;
     return;
@@ -224,6 +284,33 @@ async function startTraining() {{
       'Session ' + sessionId + ' started';
   if (poller) clearInterval(poller);
   poller = setInterval(pollProgress, 2000);
+}}
+let simTimer = null;
+function simulateTraining(epochs) {{
+  sessionId = null;
+  if (poller) clearInterval(poller);
+  if (simTimer) clearInterval(simTimer);
+  let ep = 0;
+  const logs = ['[offline demo] server unreachable - simulating ' +
+                epochs + ' epochs in the browser; NO real training'];
+  simTimer = setInterval(() => {{
+    ep++;
+    const dice = Math.min(0.95, 0.30 + 0.012 * ep +
+                          (Math.random() - 0.5) * 0.02);
+    const loss = Math.max(0.05, 1.2 * Math.exp(-0.05 * ep) +
+                          (Math.random() - 0.5) * 0.04);
+    diceHist.push(dice);
+    logs.push(`[offline demo] epoch ${{ep}}/${{epochs}} ` +
+              `loss ${{loss.toFixed(4)}} dice ${{dice.toFixed(4)}}`);
+    document.getElementById('tstatus').innerHTML =
+      `status <b>simulated</b>` +
+      ` <span class="badge">offline demo — not real training</span>` +
+      ` — epoch ${{ep}}/${{epochs}} — loss ${{loss.toFixed(4)}}` +
+      ` — dice ${{dice.toFixed(4)}}<br>` + sparkline(diceHist);
+    document.getElementById('tlogs').textContent =
+        logs.slice(-10).join('\\n');
+    if (ep >= epochs) clearInterval(simTimer);
+  }}, 1000);
 }}
 function sparkline(vals) {{
   if (vals.length < 2) return '';
@@ -255,6 +342,9 @@ async function pollProgress() {{
       clearInterval(poller);
 }}
 async function stopTraining() {{
+  if (simTimer) {{ clearInterval(simTimer);
+    document.getElementById('tstatus').innerHTML +=
+        ' — simulation stopped'; }}
   if (!sessionId) return;
   await fetch('/stop_training', {{method:'POST',
     headers: {{'Content-Type':'application/json'}},

@@ -332,11 +332,18 @@ class ModernBrainTumorTrainer:
         with open(json_path, "w") as f:
             json.dump(summary, f, indent=2)
         try:
-            from ..utils.visualization import create_training_dashboard
+            from ..utils.visualization import (
+                create_training_dashboard, create_training_dashboard_html)
             create_training_dashboard(
                 self.metrics_history,
                 os.path.join(out_dir,
                              f"{self.experiment_name}_dashboard.png"))
+            # interactive twin of the PNG (reference training.py:416-466
+            # emits the plotly report as HTML alongside the PNG)
+            create_training_dashboard_html(
+                self.metrics_history,
+                os.path.join(out_dir,
+                             f"{self.experiment_name}_dashboard.html"))
         except Exception as e:
             logger.warning("dashboard generation failed: %s", e)
         return json_path

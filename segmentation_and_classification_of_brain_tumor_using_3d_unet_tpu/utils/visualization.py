@@ -86,6 +86,52 @@ def create_training_dashboard(history: Dict[str, Sequence[float]],
     return _fig_to_base64(fig)
 
 
+def create_training_dashboard_html(history: Dict[str, Sequence[float]],
+                                   save_path: Optional[str] = None
+                                   ) -> str:
+    """Interactive plotly 2x2 training dashboard (loss / dice / LR /
+    val HD95) as standalone HTML — the interactive counterpart of the
+    PNG dashboard, matching the reference's plotly training report
+    (``training.py:416-466``). Figure JSON is embedded directly
+    (plotly.js from CDN via ``plotly_html``); no python plotly dep."""
+    n = len(history.get("train_loss", []))
+    epochs = list(range(1, n + 1))
+
+    def trace(ys, name, axis, **kw):
+        return {"type": "scatter", "mode": "lines", "name": name,
+                "x": epochs[:len(ys)], "y": [float(v) for v in ys],
+                "xaxis": f"x{axis}", "yaxis": f"y{axis}", **kw}
+
+    data = [trace(history.get("train_loss", []), "train loss", 1),
+            trace(history.get("val_loss", []), "val loss", 1),
+            trace(history.get("train_dice", []), "train dice", 2),
+            trace(history.get("val_dice", []), "val dice", 2),
+            trace(history.get("learning_rates", []), "lr", 3)]
+    hd = [float(h) for h in history.get("val_hausdorff", [])
+          if h == h and np.isfinite(h)]
+    data.append(trace(hd, "val HD95 (mm)", 4))
+    layout = {
+        "title": {"text": "Training dashboard (interactive)"},
+        "grid": {"rows": 2, "columns": 2, "pattern": "independent"},
+        "xaxis": {"title": {"text": "epoch"}},
+        "xaxis2": {"title": {"text": "epoch"}},
+        "xaxis3": {"title": {"text": "epoch"}},
+        "xaxis4": {"title": {"text": "epoch"}},
+        "yaxis": {"title": {"text": "loss"}},
+        "yaxis2": {"title": {"text": "dice"}},
+        "yaxis3": {"title": {"text": "learning rate"},
+                   "type": "log"},
+        "yaxis4": {"title": {"text": "HD95 (mm)"}},
+    }
+    html = plotly_html({"data": data, "layout": layout},
+                       "Training dashboard")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        with open(save_path, "w") as f:
+            f.write(html)
+    return html
+
+
 def create_dice_analysis(history: Dict[str, Sequence[float]],
                          save_path: Optional[str] = None) -> str:
     """Dice histogram / moving average / summary (reference

@@ -523,8 +523,16 @@ def test_index_page_ui_protocol():
     for needle in ("/upload", "/start_training", "/training_progress",
                    "/stop_training", "/generate_synthetic_data",
                    'id="drop"', "dragover", "demoAnalysis", "STAGES",
-                   "sparkline", "offline demo"):
+                   "sparkline", "offline demo",
+                   # round 3: offline training simulator + rich results
+                   "simulateTraining", "not real training",
+                   "renderResults", "showTab", "mcard",
+                   "visualization_3d", "v3dframe", "srcdoc"):
         assert needle in page, needle
+    # the training fallback must trigger on fetch failure, not replace
+    # the real path
+    assert page.index("fetch('/start_training'") < \
+        page.index("simulateTraining(cfg.epochs)")
 
 
 def test_background_warmup_sets_state(app):
