@@ -148,8 +148,13 @@ int64_t nifti_read_f32(const char* path, float* out, int64_t out_cap,
     if (!out) return count;
     if (out_cap < count) return -3;
 
-    size_t off = h.vox_offset > 0 ? static_cast<size_t>(h.vox_offset)
-                                  : kHdrSize;
+    // NIfTI-1: single-file ("n+1") data starts at vox_offset >= 352;
+    // clamp smaller/fractional values to the header size so a lying
+    // field can't alias header bytes as voxels (and so this matches
+    // the Python codec exactly — found by tests/test_nifti_fuzz.py)
+    size_t off = h.vox_offset >= static_cast<float>(kHdrSize)
+                     ? static_cast<size_t>(h.vox_offset)
+                     : kHdrSize;
     size_t need = off + static_cast<size_t>(count) * esize;
     if (raw.size() < need) return -4;
     const uint8_t* data = raw.data() + off;

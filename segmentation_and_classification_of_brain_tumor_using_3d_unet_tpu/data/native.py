@@ -97,7 +97,11 @@ def read_nifti(path: str) -> Optional[np.ndarray]:
         return None
     shape = (ctypes.c_int32 * 3)()
     count = lib.nifti_read_f32(path.encode(), None, 0, shape)
-    if count <= 0:
+    # header-only shape queries cannot bounds-check the data section,
+    # so a lying dim field could otherwise drive a huge host allocation
+    # (int16 dims allow up to 32767^3 ~ 140 TB of f32); the largest
+    # legitimate volume here is ~14 Mvox — cap with wide headroom
+    if count <= 0 or count > (1 << 30):
         return None
     buf = np.empty(count, np.float32)
     got = lib.nifti_read_f32(

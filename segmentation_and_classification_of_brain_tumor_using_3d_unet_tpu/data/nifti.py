@@ -104,13 +104,23 @@ def load(path: str) -> NiftiImage:
     dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
 
     pixdim, sform_code, qform_code = _header_geometry(raw, endian)
-    vox_offset = int(unpack("f", 108))
+    vox_raw = unpack("f", 108)
+    # vox_offset is a float field an attacker controls: NaN/inf would
+    # raise OverflowError at int(), negative/oversized offsets would
+    # turn into confusing frombuffer errors — reject them as the
+    # controlled codec error (found by tests/test_nifti_fuzz.py)
+    if not np.isfinite(vox_raw) or vox_raw < 0 or vox_raw > len(raw):
+        raise ValueError(f"{path}: bad vox_offset {vox_raw}")
+    # NIfTI-1 single-file data starts at >= 352; clamp smaller values
+    # (incl. fractional 0<v<1) to the header size — keeps parity with
+    # the C decoder and never aliases header bytes as voxels
+    vox_offset = max(int(vox_raw), _HDR_SIZE)
     scl_slope = unpack("f", 112)
     scl_inter = unpack("f", 116)
 
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count,
-                         offset=vox_offset or _HDR_SIZE)
+                         offset=vox_offset)
     data = data.reshape(shape, order="F").copy()
 
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
