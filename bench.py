@@ -118,6 +118,19 @@ def main():
     ap.add_argument("--per_call", action="store_true",
                     help="old per-volume host-sync timing (pays ~26 ms "
                          "tunnel RTT per volume)")
+    ap.add_argument("--e2e", type=int, default=0, metavar="N",
+                    help="ALSO measure end-to-end throughput: N "
+                         "BraTS-layout cases on disk -> decode -> crop "
+                         "-> device normalize+segment -> full label map "
+                         "on host; prints a second JSON line")
+    ap.add_argument("--e2e_only", action="store_true",
+                    help="with --e2e: skip the headline measurement")
+    ap.add_argument("--e2e_fmt", choices=("nii.gz", "nii"),
+                    default="nii.gz",
+                    help="on-disk format for --e2e ('nii' models a "
+                         "pre-inflated host cache)")
+    ap.add_argument("--e2e_workers", type=int, default=2,
+                    help="host decode threads for --e2e")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -141,6 +154,10 @@ def main():
 
     def apply_fn(v, patches):
         return run_model[0].apply(v, patches, train=False)["logits"]
+
+    if args.e2e and args.e2e_only:
+        run_e2e(args, variables, apply_fn)
+        return
 
     rng = np.random.default_rng(0)
     realistic = args.synthetic == "realistic"
@@ -255,6 +272,157 @@ def main():
         "value": round(vps, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vps / TARGET, 4),
+    }))
+    if args.e2e:
+        run_e2e(args, variables, apply_fn)
+
+
+def run_e2e(args, variables, apply_fn):
+    """Disk -> complete label map, pipelined (VERDICT r2 item 2).
+
+    N BraTS-layout cases (4 modality ``.nii.gz`` files each) are written
+    to a temp dir (untimed), then the TIMED phase streams them:
+
+      host threads  decode (native zlib+NIfTI C++ codec, csrc/
+                    host_preprocess.cpp) -> nonzero bbox -> static-
+                    bucket crop
+      device (jit)  clip+z-score normalize -> Gaussian sliding-window
+                    segmentation -> argmax -> scatter into the full
+                    240x240x155 map
+      host          fetch the complete int8 label map (D2H)
+
+    Decode threads run ahead of device compute (the device wait is idle
+    tunnel time on this rig, so even the 1-CPU host overlaps). The
+    reference's analogue is upload->result in ``main.py:828-910`` —
+    always end-to-end, never HBM-resident. Reported next to the device
+    headline so the gap between them (host decode on a 1-CPU rig) is
+    explicit rather than hidden.
+    """
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    pkg = "segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu"
+    from importlib import import_module
+    native = import_module(pkg + ".data.native")
+    nifti = import_module(pkg + ".data.nifti")
+    synth = import_module(pkg + ".data.synthetic")
+    cropping = import_module(pkg + ".inference.cropping")
+    preprocess_multimodal = import_module(
+        pkg + ".data.preprocess").preprocess_multimodal
+    sliding_window_inference = import_module(
+        pkg + ".inference.sliding_window").sliding_window_inference
+
+    try:
+        from ml_dtypes import bfloat16 as _bf16
+    except ImportError:            # pragma: no cover - baked into image
+        _bf16 = np.float16
+
+    modalities = ("t1c", "t1n", "t2f", "t2w")
+    tmp = os.path.join(tempfile.gettempdir(),
+                       f"e2e_fixture_{args.e2e}_{args.e2e_fmt}")
+    t0 = time.time()
+    if not os.path.isdir(tmp):     # fixture generation is untimed
+        synth.create_enhanced_synthetic_data(
+            args.e2e, tmp, shape=VOLUME_SHAPE, fmt=args.e2e_fmt, seed=0,
+            tumor_prob=1.0, skull_stripped=True)
+    cases = sorted(p for split in ("train", "val")
+                   for p in sorted((Path(tmp) / split).iterdir())
+                   if p.is_dir())
+    if args.verbose:
+        print(f"# e2e fixture: {len(cases)} cases ({args.e2e_fmt}) in "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+
+    def decode(case, bucket):
+        """One case -> (bucket-shaped crop, offsets). The bbox is
+        planned from the FIRST modality (BraTS volumes share one
+        skull-strip mask, so the foreground support is identical across
+        modalities) and each modality is cropped straight into the
+        output buffer — the naive stack-then-crop path costs ~4s/case
+        of pure memory traffic on this 1-CPU host."""
+        t0 = time.time()
+        crop = None
+        off = (0, 0, 0)
+        for i, m in enumerate(modalities):
+            p = str(case / f"{case.name}_{m}.{args.e2e_fmt}")
+            v = native.read_nifti(p)
+            if v is None:
+                v = nifti.load_volume(p)
+            v = np.asarray(v, np.float32)
+            if crop is None:
+                box = cropping.nonzero_bbox(v)
+                off = cropping.crop_offsets(box, bucket, VOLUME_SHAPE)
+                # ship bf16: the attach tunnel moves ~50 MB/s, and the
+                # model computes in bf16 anyway — halving the H2D bytes
+                # halves the dominant per-case transfer cost
+                crop = np.empty((*bucket, len(modalities)), _bf16)
+            crop[..., i] = cropping.extract_crop(v, off, bucket)
+        return crop, np.asarray(off, np.int32), time.time() - t0
+
+    # static bucket from case 0 (+1 bucket step of margin): the jit
+    # compiles once; crop_offsets clamps every later case into it
+    probe, _, _ = decode(cases[0], VOLUME_SHAPE)
+    box0 = cropping.nonzero_bbox(probe[..., 0])
+    bucket = cropping.bucket_shape(
+        [h - l + 16 for (l, h) in ((box0[0][i], box0[1][i])
+                                   for i in range(3))],
+        VOLUME_SHAPE, multiple=args.bucket_multiple, min_size=64)
+    paste = tuple(min(b, f) for b, f in zip(bucket, VOLUME_SHAPE))
+    roi = tuple(args.roi) if args.roi else tuple(
+        -(-s // 16) * 16 for s in bucket)
+
+    def seg_e2e(v, crop, off):
+        x = preprocess_multimodal(crop.astype(jnp.float32),
+                                  out_size=None)
+        logits = sliding_window_inference(
+            v, x, apply_fn, roi_size=roi, overlap=args.overlap,
+            sw_batch_size=args.sw_batch, blend_mode="gaussian",
+            out_channels=4)
+        seg = jnp.argmax(logits, axis=-1).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros(VOLUME_SHAPE, jnp.int8),
+            seg[:paste[0], :paste[1], :paste[2]],
+            (off[0], off[1], off[2]))
+
+    jrun = jax.jit(seg_e2e)
+    crop0, off0, _ = decode(cases[0], bucket)
+    t0 = time.time()
+    np.asarray(jrun(variables, jnp.asarray(crop0), jnp.asarray(off0)))
+    if args.verbose:
+        print(f"# e2e bucket={bucket} roi={roi} compile+warm "
+              f"{time.time() - t0:.0f}s", file=sys.stderr)
+
+    ex = ThreadPoolExecutor(max_workers=args.e2e_workers)
+    t0 = time.time()
+    futs = [ex.submit(decode, c, bucket) for c in cases]
+    host_s = dev_s = 0.0
+    checksum = 0
+    for fu in futs:
+        crop, off, dt = fu.result()
+        host_s += dt
+        t1 = time.time()
+        labels = np.asarray(jrun(variables, jnp.asarray(crop),
+                                 jnp.asarray(off)))
+        dev_s += time.time() - t1
+        checksum += int(labels.sum())
+    total = time.time() - t0
+    ex.shutdown()
+    vps = len(cases) / total
+    if args.verbose:
+        print(f"# e2e total {total:.1f}s; per-vol host decode "
+              f"{host_s / len(cases):.2f}s, device+transfer "
+              f"{dev_s / len(cases):.2f}s; labels checksum {checksum}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "volumes/sec end-to-end (disk %s -> native decode -> "
+                  "crop -> on-device normalize + sliding-window "
+                  "segmentation -> full 240x240x155 label map on host)"
+                  % args.e2e_fmt,
+        "value": round(vps, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vps / TARGET, 4),
+        "host_decode_s_per_vol": round(host_s / len(cases), 3),
+        "device_s_per_vol": round(dev_s / len(cases), 3),
     }))
 
 

@@ -92,7 +92,8 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
                                    shape: Tuple[int, int, int] = FULL_SHAPE,
                                    fmt: str = "nii.gz",
                                    seed: int = 42,
-                                   tumor_prob: float = 0.8) -> str:
+                                   tumor_prob: float = 0.8,
+                                   skull_stripped: bool = False) -> str:
     """Tier 2: BraTS-layout synthetic cohort (reference
     ``train_model.py:25-118``).
 
@@ -100,6 +101,10 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
     t2w,seg}.<fmt>`` with an 80/20 split by index. Enhancing tumor uses raw
     BraTS label 4 (remapped to 3 at load time, reference
     ``training.py:136-138``).
+
+    ``skull_stripped=True`` zeroes everything outside the brain mask —
+    real BraTS volumes are skull-stripped the same way — enabling the
+    nnU-Net foreground-cropping path (``inference/cropping.py``).
     """
     assert fmt in ("nii.gz", "nii", "npy")
     rng = np.random.default_rng(seed)
@@ -144,6 +149,8 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
                 vol[seg > 0] += rng.uniform(0.3, 0.5)
             vol += rng.normal(0, 0.05, shape).astype(np.float32)
             vol = np.clip(vol, 0, 1).astype(np.float32)
+            if skull_stripped:
+                vol[~brain] = 0.0
             _save(pdir / f"{pid}_{modality}", vol, fmt)
         _save(pdir / f"{pid}_seg", seg, fmt)
 

@@ -94,6 +94,21 @@ def test_enhanced_synthetic_layout(tmp_path, fmt):
     assert 3 not in labels and labels <= {0, 1, 2, 4}
 
 
+def test_enhanced_synthetic_skull_stripped(tmp_path):
+    """skull_stripped=True zeroes outside the brain mask (real BraTS is
+    skull-stripped), enabling foreground cropping (bench.py --e2e)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference import (
+        cropping)
+    d = create_enhanced_synthetic_data(
+        1, str(tmp_path / "B"), shape=SMALL, fmt="npy", seed=3,
+        tumor_prob=1.0, skull_stripped=True)
+    item = BraTS2024Dataset(d, mode="train")[0]
+    img = np.asarray(item["image"])
+    assert img[0, 0, 0].max() == 0.0                 # corner is air
+    lo, hi = cropping.nonzero_bbox(img)
+    assert all(h - l < s for (l, h, s) in zip(lo, hi, SMALL))
+
+
 def test_dataset_cache_serves_hits(tmp_path):
     """Reference bug (training.py:77-113): cache stops serving once full."""
     d = create_enhanced_synthetic_data(2, str(tmp_path / "B"), shape=SMALL,
