@@ -26,7 +26,28 @@ def main():
     ap.add_argument("--ema", type=float, default=0.0,
                     help="parameter-EMA decay; validation scores the "
                          "EMA weights (Config.ema_decay)")
+    ap.add_argument("--scheduler", choices=("constant",
+                                            "cosine_warm_restarts"),
+                    default="constant")
+    ap.add_argument("--patch", type=int, nargs=3, default=None,
+                    help="nnU-Net-style foreground-biased patch "
+                         "sampling at native resolution")
+    ap.add_argument("--val_interval", type=int, default=1)
+    ap.add_argument("--long", action="store_true",
+                    help="quality-demonstration preset (VERDICT r3 "
+                         "item 4): 32-case native-res cohort, flagship "
+                         "features, SGDR + EMA, 300 epochs — targets "
+                         "val dice >= 0.85 vs the reference's claimed "
+                         "0.892 (templates/metrics.html:20)")
     args = ap.parse_args()
+    if args.long:
+        args.samples = max(args.samples, 32)
+        args.size = (96, 96, 64)
+        args.features = (32, 64, 128, 256, 512)
+        args.scheduler = "cosine_warm_restarts"
+        args.ema = args.ema or 0.999
+        if args.epochs == 120:
+            args.epochs = 300
 
     import dataclasses
     import jax.numpy as jnp

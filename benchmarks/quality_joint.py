@@ -1,0 +1,119 @@
+"""Grade-classification quality check (VERDICT r3 item 4, second half).
+
+Trains the joint seg+grade model (``models/joint.py``, BASELINE config
+4) on a synthetic BraTS cohort and reports held-out GRADE ACCURACY —
+the reference paper claims 90% classification accuracy (BASELINE.md)
+but its classifier is never trained (``main.py:102-328``, SURVEY §2).
+Grade ground truth derives from tumor burden (``grade_from_volume``,
+the same clinical volume ladder serving uses), so the net must
+estimate tumor extent from raw images to classify.
+
+Usage: python benchmarks/quality_joint.py [--epochs 60] [--samples 32]
+"""
+
+import argparse
+import sys
+import tempfile
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--samples", type=int, default=32)
+    ap.add_argument("--size", type=int, nargs=3, default=(64, 64, 64))
+    ap.add_argument("--features", type=int, nargs="+",
+                    default=(16, 32, 64, 128))
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cls_weight", type=float, default=0.5)
+    args = ap.parse_args()
+
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    pkg = "segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu"
+    from importlib import import_module
+    Config = import_module(pkg + ".config").Config
+    data = import_module(pkg + ".data")
+    joint = import_module(pkg + ".models.joint")
+    loop = import_module(pkg + ".train.loop")
+    state_mod = import_module(pkg + ".train.state")
+
+    size = tuple(args.size)
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model,
+                                  features=tuple(args.features)),
+        data=dataclasses.replace(cfg.data, image_size=size),
+        optimizer=dataclasses.replace(cfg.optimizer,
+                                      scheduler="constant"),
+        use_tensorboard=False, batch_size=2)
+
+    data_dir = tempfile.mkdtemp(prefix="quality_joint_")
+    data.create_enhanced_synthetic_data(args.samples, data_dir,
+                                        shape=(96, 96, 64), seed=11)
+    train_loader, val_loader = data.create_brats_data_loaders(
+        data_dir, batch_size=2, num_workers=2, image_size=size,
+        aug_cfg=cfg.augment)
+
+    model = joint.UNet3DWithClassifier(
+        out_channels=4, features=tuple(args.features),
+        dtype=jnp.bfloat16)
+    state = state_mod.create_train_state(
+        model, cfg, jax.random.PRNGKey(0), (1, *size, 4),
+        steps_per_epoch=max(1, (args.samples * 4) // 10),
+        learning_rate=args.lr)
+    step = loop.make_joint_train_step(cfg, cls_weight=args.cls_weight,
+                                      donate=True)
+
+    @jax.jit
+    def val_step(params, batch_stats, batch):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch["image"], train=False)
+        tumor = jnp.sum((batch["mask"] > 0).astype(jnp.int32),
+                        axis=(1, 2, 3))
+        total = np.prod(size)
+        gt = joint.grade_from_volume(tumor, total)
+        pred = jnp.argmax(out["grade_logits"], -1)
+        from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.metrics import (
+            mean_foreground_dice)
+        return (pred == gt).astype(jnp.float32), mean_foreground_dice(
+            out["logits"], batch["mask"])
+
+    t0 = time.time()
+    best_acc, best_dice, accs = 0.0, 0.0, []
+    key = jax.random.PRNGKey(1)
+    for epoch in range(args.epochs):
+        tr_acc = []
+        for batch in train_loader:
+            key, k = jax.random.split(key)
+            state, m = step(state, batch, k)
+            tr_acc.append(m["grade_acc"])
+        hits, dices = [], []
+        for batch in val_loader:
+            h, d = val_step(state.params, state.batch_stats, batch)
+            hits.append(np.asarray(h))
+            dices.append(float(d))
+        acc = float(np.concatenate(hits).mean())
+        vdice = float(np.mean(dices))
+        best_acc, best_dice = max(best_acc, acc), max(best_dice, vdice)
+        accs.append(acc)
+        if epoch % 5 == 0 or epoch == args.epochs - 1:
+            print(f"epoch {epoch:3d}  train grade acc "
+                  f"{float(np.mean([float(a) for a in tr_acc])):.3f}  "
+                  f"VAL grade acc {acc:.3f}  val dice {vdice:.3f}",
+                  flush=True)
+    print(f"best val grade accuracy {best_acc:.3f} "
+          f"(last5 {np.mean(accs[-5:]):.3f}) best val dice "
+          f"{best_dice:.3f}  wall {time.time() - t0:.0f}s")
+    assert best_acc >= 0.5, "grade head failed to learn"
+    print("QUALITY-JOINT OK")
+
+
+if __name__ == "__main__":
+    main()
