@@ -66,7 +66,7 @@ def main():
         D, H, W = 160, 192, 144
     measure_rtt()
     rng = np.random.default_rng(0)
-    for ci, co in ((64, 32), (32, 32), (32, 16)):
+    for ci, co in ((64, 32), (32, 32), (32, 16), (4, 32)):
         x = jnp.asarray(
             rng.normal(size=(1, D, H, W, ci)).astype(np.float32),
             jnp.bfloat16)

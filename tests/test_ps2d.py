@@ -53,6 +53,9 @@ def _assert_bf16_close(y, ref):
         (1, 1, 8, 8, 32, 16, None),      # D = 1, head co=16
         (1, 2, 8, 8, 32, 8, None),       # D = 2, N4 = 32
         (1, 7, 16, 20, 64, 64, 4),       # larger, GH = 2
+        (1, 3, 8, 12, 4, 32, None),      # enc0: ci=4 channel-padded
+        (1, 3, 8, 12, 32, 16, None),     # head: co=16 channel-padded
+        (1, 3, 8, 12, 4, 4, None),       # both padded
     ])
 def test_ps2d_matches_xla_s2d(B, D, H, W, ci, co, Hb):
     y, ref, _, _ = _run(B, D, H, W, ci, co, Hb)
@@ -93,10 +96,12 @@ def test_kernels_chain_without_repacking():
                        np.asarray(ref, np.float32))
 
 
-def test_plan_rejects_ineligible():
-    assert make_ps2d_plan(4, 6, 8, 32) is None       # C4 = 32 < 128
-    plan = make_ps2d_plan(4, 6, 32, 32)
-    assert plan is not None and plan.P % 16 == 0
+def test_plan_pads_channels():
+    plan = make_ps2d_plan(4, 6, 8, 32)
+    assert plan is not None and plan.C4 == 128       # ci 8 -> 32
+    plan = make_ps2d_plan(4, 6, 32, 16)
+    assert plan is not None and plan.N4 == 128       # co 16 -> 32
+    assert plan.P % 16 == 0
     assert GUARD % 16 == 0
 
 
