@@ -115,6 +115,11 @@ def main():
                     help="space-to-depth level 0 (ops/s2d.py): full-"
                          "lane conv2d for the N<=32 extremity blocks")
     ap.add_argument("--no_s2d", dest="s2d", action="store_false")
+    ap.add_argument("--ps2d", dest="ps2d", action="store_true",
+                    default=None,
+                    help="packed-s2d Pallas kernels for the decoder-"
+                         "last stage (ops/pallas/ps2d.py)")
+    ap.add_argument("--no_ps2d", dest="ps2d", action="store_false")
     ap.add_argument("--per_call", action="store_true",
                     help="old per-volume host-sync timing (pays ~26 ms "
                          "tunnel RTT per volume)")
@@ -144,8 +149,9 @@ def main():
     # s2d measured and loses on this libtpu (8.42 vs 10.78 vol/s —
     # benchmarks/RESULTS.md s2d section); default stays OFF.
     use_s2d = False if args.s2d is None else args.s2d
+    use_ps2d = False if args.ps2d is None else args.ps2d
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False,
-                   s2d_eval=use_s2d)
+                   s2d_eval=use_s2d, ps2d_eval=use_ps2d)
     x_init = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x_init, train=False)
@@ -244,6 +250,8 @@ def main():
         def run_batch(v, vols, offs):
             def body(_, inp):
                 vol, off = inp
+                if vb == 1:     # no vmap wrapper around Pallas calls
+                    return None, segment_full(v, vol[0], off[0])[None]
                 return None, jax.vmap(
                     lambda x, o: segment_full(v, x, o))(vol, off)
             _, sums = jax.lax.scan(body, None, (vols, offs))

@@ -33,6 +33,7 @@ def main():
                     help="nnU-Net-style foreground-biased patch "
                          "sampling at native resolution")
     ap.add_argument("--val_interval", type=int, default=1)
+    ap.add_argument("--hausdorff_every", type=int, default=5)
     ap.add_argument("--long", action="store_true",
                     help="quality-demonstration preset (VERDICT r3 "
                          "item 4): 32-case native-res cohort, flagship "
@@ -64,12 +65,12 @@ def main():
         model=dataclasses.replace(cfg.model,
                                   features=tuple(args.features)),
         data=dataclasses.replace(cfg.data, image_size=size),
-        # constant LR: per-epoch SGDR restarts degenerate on tiny
-        # synthetic cohorts (few steps/epoch)
+        # constant LR default: per-epoch SGDR restarts degenerate on
+        # tiny synthetic cohorts (few steps/epoch); --long uses SGDR
         optimizer=dataclasses.replace(cfg.optimizer,
-                                      scheduler="constant"),
+                                      scheduler=args.scheduler),
         # a tiny-cohort learning check needs its full step budget
-        early_stopping_patience=10_000,
+        early_stopping_patience=10_000, val_interval=args.val_interval,
         use_tensorboard=False, batch_size=2, ema_decay=args.ema)
     if args.no_deep_sup:
         cfg = cfg.replace(loss=dataclasses.replace(
@@ -80,13 +81,15 @@ def main():
                                    shape=(96, 96, 64), seed=7)
     train_loader, val_loader = create_brats_data_loaders(
         data_dir, batch_size=2, num_workers=2, image_size=size,
-        aug_cfg=cfg.augment)
+        aug_cfg=cfg.augment,
+        patch_size=tuple(args.patch) if args.patch else None)
     model = UNet3D(out_channels=4, features=tuple(args.features),
                    dtype=jnp.bfloat16,
                    deep_sup_full_res=args.deep_full_res)
     trainer = ModernBrainTumorTrainer(
         model, learning_rate=1e-3, config=cfg,
-        experiment_name="convergence_check", hausdorff_every=5)
+        experiment_name="convergence_check",
+        hausdorff_every=args.hausdorff_every)
     t0 = time.time()
     hist = trainer.train(train_loader, val_loader, args.epochs)
     dt = time.time() - t0

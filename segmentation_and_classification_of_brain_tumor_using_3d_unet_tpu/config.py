@@ -60,6 +60,11 @@ class ModelConfig:
     s2d_eval: bool = False
     # same for training steps (fwd + bwd)
     s2d_train: bool = False
+    # packed-s2d Pallas kernels (ops/pallas/ps2d.py) for the
+    # decoder-last stage at eval: 1.6-2.9x per-conv over zcat on v5e
+    # (benchmarks/RESULTS.md round 3). Exact and checkpoint-compatible;
+    # takes precedence over s2d_eval at level 0.
+    ps2d_eval: bool = False
 
 
 @dataclass(frozen=True)

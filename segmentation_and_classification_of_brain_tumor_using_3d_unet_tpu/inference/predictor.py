@@ -47,7 +47,8 @@ class Predictor:
         self.seg_model = seg_model or UNet3D(
             out_channels=mc.out_channels, features=mc.features,
             dropout_rate=mc.dropout_rate, dtype=dtype, remat=mc.remat,
-            s2d_eval=getattr(mc, "s2d_eval", False))
+            s2d_eval=getattr(mc, "s2d_eval", False),
+            ps2d_eval=getattr(mc, "ps2d_eval", False))
         self.cls_model = cls_model or BrainTumorClassifier(
             num_classes=4, dtype=dtype)
 

@@ -49,12 +49,19 @@ class GroupNorm(nn.Module):
     num_groups: int
     eps: float = 1e-5
     s2d: bool = False
+    # flat packed-s2d layout (ops/pallas/ps2d.py): true-count stats,
+    # pads re-zeroed; requires the region plan at call time
+    ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1] // 4 if self.s2d else x.shape[-1]
+    def __call__(self, x, plan=None):
+        c = x.shape[-1] // 4 if (self.s2d or self.ps2d) else x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.ps2d:
+            from ..ops.pallas.ps2d import group_norm_flat
+            return group_norm_flat(x, gamma, beta, self.num_groups,
+                                   plan, self.eps)
         if self.s2d:
             return group_norm_s2d(x, gamma, beta, self.num_groups,
                                   self.eps)
@@ -78,9 +85,17 @@ class DoubleConv3D(nn.Module):
     # whole block computed in space-to-depth HW layout (ops/s2d.py);
     # requires fast=True, parameters identical to the normal path
     s2d: bool = False
+    # whole block in FLAT packed-s2d layout via the Pallas conv kernel
+    # (ops/pallas/ps2d.py). __call__ takes a flat array or a TUPLE of
+    # flat arrays (their channel concat is folded into the kernel's K
+    # dim, never materialized) plus the conv1 plan. Eval-only;
+    # parameters identical to the normal path.
+    ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, plan=None):
+        if self.ps2d:
+            return self._ps2d(x, plan)
         if self.s2d and not self.fast:
             raise ValueError("s2d DoubleConv requires fast=True")
         in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
@@ -118,6 +133,50 @@ class DoubleConv3D(nn.Module):
             out = out + res
         return out
 
+    def _ps2d(self, x, plan):
+        """Flat-layout block: same parameter tree as the normal path
+        (conv1 / gn1 / conv2 / gn2 / proj / gn_proj), convs via the
+        packed-s2d Pallas kernel, GN with true-count statistics."""
+        from ..ops.pallas.ps2d import make_ps2d_plan
+        if not self.fast or self.quant_mode != "off":
+            raise ValueError("ps2d DoubleConv requires fast=True, "
+                             "quant off")
+        mid_ch = self.mid_channels or self.out_channels
+        if mid_ch % 32 or self.out_channels % 32:
+            # GroupNorm params are sized from the flat lane count; a
+            # non-32-multiple channel width would pad them and break
+            # checkpoint compatibility
+            raise ValueError("ps2d DoubleConv needs 32-multiple widths")
+        xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        cis = tuple(C4i // 4 for C4i in plan.C4s)
+        in_ch = sum(cis)
+        mid = self.mid_channels or self.out_channels
+        common = dict(use_bias=False, kernel_init=KAIMING,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      ps2d=True)
+
+        out = FastConv3D(mid, (3, 3, 3), name="conv1", **common)(
+            xfs, plan=plan, cis=cis)
+        out = nn.relu(GroupNorm(8, ps2d=True, name="gn1")(out, plan))
+        plan_mid = make_ps2d_plan(plan.H2, plan.W2, mid,
+                                  self.out_channels)
+        out = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
+                         **common)(out, plan=plan_mid)
+        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan))
+
+        if in_ch == self.out_channels:
+            if self.use_residual:
+                if len(xfs) != 1:
+                    raise ValueError("identity residual needs a single "
+                                     "ps2d input")
+                out = out + xfs[0]
+        else:
+            res = Conv1x1(self.out_channels, name="proj", **common)(
+                xfs, plan=plan, cis=cis)
+            res = GroupNorm(8, ps2d=True, name="gn_proj")(res, plan)
+            out = out + res
+        return out
+
 
 class AttentionGate3D(nn.Module):
     """Additive spatial attention gate + squeeze-excite channel attention
@@ -135,9 +194,16 @@ class AttentionGate3D(nn.Module):
     # s2d statistics, SE pools over (spatial, phase). Parameters
     # identical to the normal path.
     s2d: bool = False
+    # g and x arrive in FLAT packed-s2d layout (ops/pallas/ps2d.py,
+    # requires the region plan); statistics use true voxel counts and
+    # the zero pads survive every step (sigmoid(0)=0.5 is multiplied
+    # by the zero-padded x). Parameters identical to the normal path.
+    ps2d: bool = False
 
     @nn.compact
-    def __call__(self, g, x):
+    def __call__(self, g, x, plan=None):
+        if self.ps2d:
+            return self._ps2d(g, x, plan)
         if self.s2d and not self.fast:
             raise ValueError("s2d AttentionGate requires fast=True")
         if self.fast:
@@ -184,6 +250,38 @@ class AttentionGate3D(nn.Module):
         se = nn.sigmoid(se_conv(f_l, "se_up")(se))
         if self.s2d:
             se = jnp.tile(se, (1, 1, 1, 1, 4))
+        return x_spatial * se
+
+    def _ps2d(self, g, x, plan):
+        """Flat-layout gate: same parameter tree as the normal path."""
+        from ..ops.pallas.ps2d import global_avg_pool_flat
+        if not self.fast:
+            raise ValueError("ps2d AttentionGate requires fast=True")
+        if g.shape != x.shape:
+            raise ValueError("ps2d attention gate requires matching "
+                             "g/x shapes")
+        f_l = x.shape[-1] // 4
+        conv1 = lambda f, name: Conv1x1(
+            f, use_bias=True, kernel_init=KAIMING, dtype=self.dtype,
+            ps2d=True, param_dtype=self.param_dtype, name=name)
+        gn = lambda groups, name: GroupNorm(groups, ps2d=True,
+                                            name=name)
+        g1 = gn(4, "gn_g")(conv1(self.f_int, "w_g")(g, plan=plan), plan)
+        x1 = gn(4, "gn_x")(conv1(self.f_int, "w_x")(x, plan=plan), plan)
+        psi = nn.relu(g1 + x1)
+        psi = gn(1, "gn_psi")(conv1(1, "psi")(psi, plan=plan), plan)
+        psi = nn.sigmoid(psi)       # 0.5 at pads; x is zero there
+        B, D, RT, _ = x.shape
+        x_spatial = (x.reshape(B, D, RT, 4, f_l)
+                     * psi[..., None]).reshape(x.shape)
+
+        se = global_avg_pool_flat(x, plan)      # (B,1,1,1,f_l) normal
+        se_conv = lambda f, name: Conv1x1(
+            f, use_bias=True, kernel_init=KAIMING, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        se = nn.relu(se_conv(max(f_l // 8, 1), "se_down")(se))
+        se = nn.sigmoid(se_conv(f_l, "se_up")(se))
+        se = jnp.tile(se.reshape(B, 1, 1, f_l), (1, 1, 1, 4))
         return x_spatial * se
 
 
@@ -235,6 +333,15 @@ class UNet3D(nn.Module):
     # gradient of the s2d conv2d is another full-lane conv2d). Deep-sup
     # head 0 emits normal layout either way (d2s'd before the loss).
     s2d_train: bool = False
+    # Eval-only PACKED-s2d Pallas path (ops/pallas/ps2d.py) for the
+    # decoder-last stage — the 52 ms hot spot of the crop-bucket
+    # forward. The gate + both DC convs + GN glue run on flat
+    # halo-padded tensors; the skip/up concat folds into the conv
+    # kernel's K dim. Measured 1.6-2.9x per-conv over zcat
+    # (benchmarks/RESULTS.md round 3). Parameters identical; takes
+    # precedence over s2d_eval at level 0. Falls back silently when no
+    # kernel plan exists for the shape.
+    ps2d_eval: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -242,13 +349,14 @@ class UNet3D(nn.Module):
         dc = DoubleConv3D
         if self.remat:
             dc = nn.remat(DoubleConv3D)
-        def block(f, name, s2d=False):
+        def block(f, name, s2d=False, ps2d=False):
             qm = self.quant_mode
             if self.quant_blocks is not None and not any(
                     name.startswith(p) for p in self.quant_blocks):
                 qm = "off"
             return dc(f, dtype=self.dtype, param_dtype=self.param_dtype,
-                      fast=self.fast, quant_mode=qm, s2d=s2d, name=name)
+                      fast=self.fast, quant_mode=qm, s2d=s2d, ps2d=ps2d,
+                      name=name)
         if self.fast:
             conv_out = lambda name, s2d=False: Conv1x1(
                 self.out_channels, kernel_init=KAIMING, dtype=self.dtype,
@@ -277,6 +385,18 @@ class UNet3D(nn.Module):
         use_s2d = ((self.s2d_train if train else self.s2d_eval)
                    and self.fast and self.quant_mode == "off"
                    and all(s % 2 == 0 for s in full_res))
+        # packed-s2d Pallas path for the decoder-last stage: eval-only,
+        # takes precedence over s2d there (both target level 0)
+        ps2d_plan = None
+        if (self.ps2d_eval and not train and self.fast
+                and self.quant_mode == "off"
+                and all(s % 2 == 0 for s in full_res)):
+            from ..ops.pallas.ps2d import make_ps2d_plan_multi
+            f0 = feats[0]
+            ps2d_plan = make_ps2d_plan_multi(
+                full_res[1] // 2, full_res[2] // 2, (f0, f0), f0)
+        if ps2d_plan is not None:
+            use_s2d = False
         skips: List[jax.Array] = []
         deep: List[jax.Array] = []
 
@@ -308,18 +428,52 @@ class UNet3D(nn.Module):
 
         # ---- decoder ----
         for i, f in enumerate(reversed(feats)):
-            lvl_s2d = use_s2d and i == len(feats) - 1
+            last = i == len(feats) - 1
+            lvl_s2d = use_s2d and last
+            lvl_ps2d = ps2d_plan is not None and last
             skip = skips[-(i + 1)]
             if self.fast:
                 x = FastConvTranspose3D(
                     f, kernel_init=KAIMING, dtype=self.dtype,
-                    param_dtype=self.param_dtype, s2d_out=lvl_s2d,
+                    param_dtype=self.param_dtype,
+                    s2d_out=lvl_s2d or lvl_ps2d,
                     name=f"up{i}")(x)
             else:
                 x = nn.ConvTranspose(
                     f, (2, 2, 2), strides=(2, 2, 2), kernel_init=KAIMING,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"up{i}")(x)
+            if lvl_ps2d:
+                # flat-resident stage: skip/up packed once, then the
+                # gate, both DC convs, GN glue and the residual run on
+                # flat tensors; the concat folds into the conv kernel's
+                # K dimension (models/../ops/pallas/ps2d.py)
+                from ..ops.pallas.ps2d import (flat_to_normal,
+                                               input_plan, pack_flat)
+                if x.shape[2:4] != (ps2d_plan.H2, ps2d_plan.W2) or \
+                        skip.shape[1:4] != (x.shape[1], 2 * x.shape[2],
+                                            2 * x.shape[3]):
+                    raise ValueError(
+                        "ps2d level 0: decoder/skip shape mismatch; "
+                        "pad input dims to a multiple of 2**levels")
+                up_f = pack_flat(x, input_plan(ps2d_plan, 1))
+                skip_f = pack_flat(space_to_depth_hw(skip),
+                                   input_plan(ps2d_plan, 0))
+                x_att_f = AttentionGate3D(
+                    f_int=max(f // 2, 1), dtype=self.dtype,
+                    param_dtype=self.param_dtype, fast=self.fast,
+                    ps2d=True, name=f"att{i}")(
+                    g=up_f, x=skip_f, plan=input_plan(ps2d_plan, 0))
+                # plain DoubleConv3D, NOT the remat-wrapped `dc`: remat
+                # would trace the static plan ints as dynamic args, and
+                # rematerialization is pointless at eval anyway (ps2d
+                # is eval-only). Same module name -> same param tree.
+                x = DoubleConv3D(
+                    f, dtype=self.dtype, param_dtype=self.param_dtype,
+                    fast=self.fast, ps2d=True, name=f"dec{i}")(
+                    (x_att_f, up_f), plan=ps2d_plan)
+                x = flat_to_normal(x, ps2d_plan)
+                continue
             x_att = AttentionGate3D(
                 f_int=max(f // 2, 1), dtype=self.dtype,
                 param_dtype=self.param_dtype, fast=self.fast,

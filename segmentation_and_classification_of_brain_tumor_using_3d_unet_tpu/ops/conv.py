@@ -342,9 +342,29 @@ class Conv1x1(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     s2d: bool = False
+    # flat packed-s2d layout (ops/pallas/ps2d.py): __call__ takes one
+    # flat array (or a tuple — the channel concat, never materialized)
+    # plus the region plan. Parameters identical to the normal path.
+    ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, plan=None, cis=None):
+        if self.ps2d:
+            from .pallas.ps2d import conv1x1_flat
+            xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            if cis is None:
+                cis = tuple(xf.shape[-1] // 4 for xf in xfs)
+            kernel = self.param("kernel", self.kernel_init,
+                                (1, 1, 1, sum(cis), self.features),
+                                self.param_dtype)
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.param_dtype)
+                    if self.use_bias else None)
+            return conv1x1_flat(
+                [xf.astype(self.dtype) for xf in xfs],
+                kernel.astype(self.dtype),
+                None if bias is None else bias.astype(self.dtype),
+                plan, cis=cis)
         cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (1, 1, 1, cin, self.features),
@@ -383,10 +403,32 @@ class FastConv3D(nn.Module):
     # space-to-depth HW layout in and out (ops/s2d.py); 3x3x3 only,
     # parameters identical to the normal path
     s2d: bool = False
+    # flat packed-s2d layout via the Pallas kernel (ops/pallas/ps2d.py):
+    # __call__ takes one flat array or a tuple (the channel concat,
+    # folded into the kernel's K dim) plus the conv's plan. Eval-only;
+    # parameters identical to the normal path.
+    ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, plan=None, cis=None):
         k = tuple(self.kernel_size)
+        if self.ps2d:
+            if (k != (3, 3, 3) or self.use_bias
+                    or self.quant_mode != "off"):
+                raise ValueError(
+                    "ps2d supports bias-free 3x3x3 bf16 convs only")
+            from .pallas.ps2d import (_interpret_default,
+                                      ps2d_conv3d_flat_multi)
+            xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            if cis is None:
+                cis = tuple(xf.shape[-1] // 4 for xf in xfs)
+            kernel = self.param("kernel", self.kernel_init,
+                                (*k, sum(cis), self.features),
+                                self.param_dtype)
+            return ps2d_conv3d_flat_multi(
+                [xf.astype(self.dtype) for xf in xfs],
+                kernel.astype(self.dtype), plan, cis=cis,
+                interpret=_interpret_default())
         if self.s2d:
             # calib excluded: this branch has no absmax sow, so the
             # model disables s2d for calib/int8 (see UNet3D.use_s2d)

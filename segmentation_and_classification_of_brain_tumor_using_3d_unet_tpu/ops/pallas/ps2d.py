@@ -67,6 +67,11 @@ class PS2DPlan(NamedTuple):
     K: int       # matmul K = 8 * C4 (2 kw2-copies x 4 slots)
     ci: int      # real input channels (<= C4 // 4)
     co: int      # real output channels (<= N4 // 4)
+    C4s: tuple = ()   # per-input padded lane widths (sum == C4); the
+    #                   kernel takes len(C4s) HBM inputs whose channel
+    #                   CONCAT it convolves — the concat lives only in
+    #                   the K dimension (conv(cat(a,b)) == conva + convb
+    #                   by linearity), never materialized in HBM
 
 
 def _align16(n: int) -> int:
@@ -99,8 +104,26 @@ def make_ps2d_plan(H2: int, W2: int, ci: int, co: int,
                 + 4 * 2 * K * N4 * 2)             # rotated weights
         if vmem <= vmem_budget:
             return PS2DPlan(H2, W2, P, Hb, (H2 + 3) * P,
-                            C4, N4, K, ci, co)
+                            C4, N4, K, ci, co, (C4,))
     return None
+
+
+def make_ps2d_plan_multi(H2: int, W2: int, cis, co: int,
+                         vmem_budget: int = 13 * 2 ** 20
+                         ) -> Optional[PS2DPlan]:
+    """Plan for a conv over the channel-concat of len(cis) inputs."""
+    C4s = tuple(4 * _align32(ci) for ci in cis)
+    base = make_ps2d_plan(H2, W2, sum(C4s) // 4, co,
+                          vmem_budget=vmem_budget)
+    if base is None:
+        return None
+    return base._replace(ci=sum(cis), C4s=C4s)
+
+
+def input_plan(plan: PS2DPlan, i: int) -> PS2DPlan:
+    """Single-input view of input ``i`` (for pack_flat of that input)."""
+    return plan._replace(C4=plan.C4s[i], K=8 * plan.C4s[i],
+                         ci=plan.C4s[i] // 4, C4s=(plan.C4s[i],))
 
 
 def pack_flat(xp: jax.Array, plan: PS2DPlan) -> jax.Array:
@@ -133,38 +156,60 @@ def unpack_flat(yf: jax.Array, plan: PS2DPlan) -> jax.Array:
     return y
 
 
-def pack_w_rot(w: jax.Array, plan: PS2DPlan) -> jax.Array:
+def pack_w_rot(w: jax.Array, plan: PS2DPlan,
+               cis=None) -> jax.Array:
     """(3,3,3,ci,co) DHWIO -> (4 rot, 2 kh2, K, N4) lane-ring weights.
 
-    K row block (kw2, j) carries the packed-s2d tap (dz, kh2, kw2) with
-    dz = (j - rho + 1) mod 4 (slot j holds depth slice s == j mod 4;
-    rho = d mod 4); dz == 3 is the unused slot -> zeros.
+    K row block (i, kw2, j) carries input i's packed-s2d tap
+    (dz, kh2, kw2) with dz = (j - rho + 1) mod 4 (slot j holds depth
+    slice s == j mod 4; rho = d mod 4); dz == 3 is the unused slot ->
+    zeros. For multi-input plans ``cis`` gives the REAL channel split
+    of w's input dim (the concat split); each split block is padded to
+    its C4s lane width independently.
     """
-    C4, N4, K = plan.C4, plan.N4, plan.K
-    cip, cop = C4 // 4, N4 // 4
-    ci, co = w.shape[3], w.shape[4]
-    if (cip, cop) != (ci, co):
-        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cip - ci), (0, cop - co)))
-    w2d = pack_w_s2d(w)                 # (2, 2, 12*cip, 4*cop), kd-major
-    out = jnp.zeros((4, 2, K, N4), w2d.dtype)
-    for rho in range(4):
-        for kh2 in range(2):
-            for kw2 in range(2):
-                for j in range(4):
-                    dz = (j - rho + 1) % 4
-                    if dz == 3:
-                        continue
-                    blk = w2d[kh2, kw2,
-                              dz * 4 * cip:(dz + 1) * 4 * cip]
-                    off = (kw2 * 4 + j) * C4
-                    out = out.at[rho, kh2, off:off + C4].set(blk)
+    N4, K = plan.N4, plan.K
+    cop, co = N4 // 4, w.shape[4]
+    if cis is None:
+        cis = (w.shape[3],)
+    assert len(cis) == len(plan.C4s) and sum(cis) == w.shape[3]
+    out = jnp.zeros((4, 2, K, N4), jnp.bfloat16)
+    base, coff = 0, 0
+    for i, (ci, C4i) in enumerate(zip(cis, plan.C4s)):
+        wi = w[:, :, :, coff:coff + ci, :]
+        coff += ci
+        cip = C4i // 4
+        if (cip, cop) != (ci, co):
+            wi = jnp.pad(wi,
+                         ((0, 0),) * 3 + ((0, cip - ci), (0, cop - co)))
+        w2d = pack_w_s2d(wi)            # (2, 2, 12*cip, 4*cop), kd-major
+        for rho in range(4):
+            for kh2 in range(2):
+                for kw2 in range(2):
+                    for j in range(4):
+                        dz = (j - rho + 1) % 4
+                        if dz == 3:
+                            continue
+                        blk = w2d[kh2, kw2,
+                                  dz * 4 * cip:(dz + 1) * 4 * cip]
+                        off = base + (kw2 * 4 + j) * C4i
+                        out = out.at[rho, kh2,
+                                     off:off + C4i].set(
+                            blk.astype(out.dtype))
+        base += 8 * C4i
     return out
 
 
-def _kernel(x_hbm, w_ref, o_hbm, xbuf, ybuf, ostage,
-            in_sem, out_sem, *, plan: PS2DPlan, D: int, GH: int):
+def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
     p = plan
-    Hb, P, C4, N4 = p.Hb, p.P, p.C4, p.N4
+    n_in = len(p.C4s)
+    x_hbms = refs[:n_in]
+    w_ref, o_hbm, xbuf, ybuf, ostage, in_sem, out_sem = refs[n_in:]
+    bases = []
+    acc = 0
+    for C4i in p.C4s:
+        bases.append(acc)
+        acc += 8 * C4i
+    Hb, P, N4 = p.Hb, p.P, p.N4
     RS = (Hb + 2) * P
     RY = (Hb + 1) * P
     HbP = Hb * P
@@ -179,32 +224,40 @@ def _kernel(x_hbm, w_ref, o_hbm, xbuf, ybuf, ostage,
     # nothing like the wtile kernel's 13.5x im2col amplification. The
     # shift's missing last row feeds only the masked pad column
     # (b = P-1), so its content never reaches the output.
-    def load_copy(s):
+    def load_copies(s):
         slot = jax.lax.rem(s, 4)
-        lane0 = pl.multiple_of(slot * C4, C4)
-        return pltpu.make_async_copy(
-            x_hbm.at[b, s, pl.ds(row0, RS), :],
-            xbuf.at[:, pl.ds(lane0, C4)],
-            in_sem.at[slot])
+        out = []
+        for i, (x_hbm, C4i) in enumerate(zip(x_hbms, p.C4s)):
+            lane0 = pl.multiple_of(bases[i] + slot * C4i, C4i)
+            out.append(pltpu.make_async_copy(
+                x_hbm.at[b, s, pl.ds(row0, RS), :],
+                xbuf.at[:, pl.ds(lane0, C4i)],
+                in_sem.at[slot, i]))
+        return out
 
     def start_load(s):
-        load_copy(s).start()
+        for c in load_copies(s):
+            c.start()
 
     def wait_load(s):
-        load_copy(s).wait()
+        for c in load_copies(s):
+            c.wait()
 
     def shift_slot(s):
         slot = jax.lax.rem(s, 4)
-        src0 = pl.multiple_of(slot * C4, C4)
-        dst0 = pl.multiple_of((4 + slot) * C4, C4)
-        xbuf[0:RS - 1, pl.ds(dst0, C4)] = xbuf[1:RS, pl.ds(src0, C4)]
+        for i, C4i in enumerate(p.C4s):
+            src0 = pl.multiple_of(bases[i] + slot * C4i, C4i)
+            dst0 = pl.multiple_of(bases[i] + (4 + slot) * C4i, C4i)
+            xbuf[0:RS - 1, pl.ds(dst0, C4i)] = \
+                xbuf[1:RS, pl.ds(src0, C4i)]
 
     def zero_slot(s):
         slot = jax.lax.rem(s, 4)
-        for kw2 in range(2):
-            lane0 = (kw2 * 4 + slot) * C4
-            xbuf[:, pl.ds(pl.multiple_of(lane0, C4), C4)] = jnp.zeros(
-                (RS, C4), xbuf.dtype)
+        for i, C4i in enumerate(p.C4s):
+            for kw2 in range(2):
+                lane0 = bases[i] + (kw2 * 4 + slot) * C4i
+                xbuf[:, pl.ds(pl.multiple_of(lane0, C4i), C4i)] = \
+                    jnp.zeros((RS, C4i), xbuf.dtype)
 
     # ---------------- output DMA --------------------------------------
     # ostage rows: [0, P) zeros | [P, P + HbP) data | tail zeros.
@@ -310,34 +363,40 @@ def _kernel(x_hbm, w_ref, o_hbm, xbuf, ybuf, ostage,
     wait_store(D - 1)
 
 
-def ps2d_conv3d_flat(xf: jax.Array, w: jax.Array, plan: PS2DPlan,
-                     interpret: bool = False,
-                     vmem_limit: int = 24 * 2 ** 20) -> jax.Array:
-    """Flat padded (B, D, RT, 4ci) bf16 -> (B, D, RT, 4co) bf16."""
-    args_vmem_limit = vmem_limit
-    B, D, RT, C4 = xf.shape
-    assert RT == plan.RT and C4 == plan.C4, (xf.shape, plan)
+def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
+                           cis=None, interpret: bool = False,
+                           vmem_limit: int = 24 * 2 ** 20) -> jax.Array:
+    """len(plan.C4s) flat inputs -> flat (B, D, RT, N4) bf16.
+
+    Convolves the CHANNEL CONCAT of the inputs (w's input dim = the
+    concat) without materializing it: the concat lives only in the
+    kernel's K dimension. ``cis`` is the real channel split of w's
+    input dim (defaults to the single-input w shape)."""
+    B, D, RT, _ = xfs[0].shape
+    assert len(xfs) == len(plan.C4s)
+    for xf, C4i in zip(xfs, plan.C4s):
+        assert xf.shape == (B, D, RT, C4i), (xf.shape, plan)
+    assert RT == plan.RT, (RT, plan.RT)
     GH = plan.H2 // plan.Hb
-    wr = pack_w_rot(w.astype(xf.dtype), plan)
+    wr = pack_w_rot(w, plan, cis=cis).astype(xfs[0].dtype)
     kern = functools.partial(_kernel, plan=plan, D=D, GH=GH)
     p = plan
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, D, RT, p.N4), xf.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D, RT, p.N4), xfs[0].dtype),
         grid=(B, GH),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xfs) + [
             pl.BlockSpec((4, 2, p.K, p.N4), lambda b, g: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM(((p.Hb + 2) * p.P, p.K), xf.dtype),        # xbuf
+            pltpu.VMEM(((p.Hb + 2) * p.P, p.K), xfs[0].dtype),    # xbuf
             pltpu.VMEM((GUARD + (p.Hb + 1) * p.P, p.N4),
                        jnp.float32),                              # ybuf
             pltpu.VMEM((2, p.Hb * p.P + 3 * p.P, p.N4),
-                       xf.dtype),                                 # ostage
-            pltpu.SemaphoreType.DMA((4,)),
+                       xfs[0].dtype),                             # ostage
+            pltpu.SemaphoreType.DMA((4, len(xfs))),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -346,9 +405,17 @@ def ps2d_conv3d_flat(xf: jax.Array, w: jax.Array, plan: PS2DPlan,
             # + dot temps at Hb=16/ci=64 need ~17.2. v5e VMEM is larger
             # than the default scope — raise it rather than shrink Hb
             # (smaller blocks re-DMA proportionally more halo rows).
-            vmem_limit_bytes=int(args_vmem_limit)),
+            vmem_limit_bytes=int(vmem_limit)),
         interpret=interpret,
-    )(xf, wr)
+    )(*xfs, wr)
+
+
+def ps2d_conv3d_flat(xf: jax.Array, w: jax.Array, plan: PS2DPlan,
+                     interpret: bool = False,
+                     vmem_limit: int = 24 * 2 ** 20) -> jax.Array:
+    """Flat padded (B, D, RT, 4ci) bf16 -> (B, D, RT, 4co) bf16."""
+    return ps2d_conv3d_flat_multi((xf,), w, plan, interpret=interpret,
+                                  vmem_limit=vmem_limit)
 
 
 def ps2d_conv3d(xp: jax.Array, w: jax.Array,
@@ -364,3 +431,135 @@ def ps2d_conv3d(xp: jax.Array, w: jax.Array,
     xf = pack_flat(xp.astype(jnp.bfloat16), plan)
     yf = ps2d_conv3d_flat(xf, w, plan, interpret=interpret)
     return unpack_flat(yf, plan)
+
+
+# ----------------------------------------------------------------------
+# Flat-layout glue ops — everything between convs in a ps2d region runs
+# directly on the flat padded form so tensors stay flat-resident from
+# region entry to exit (per-conv pack/unpack would cost more than the
+# kernel wins; see RESULTS.md round 3). All ops keep the invariant that
+# pad rows/columns are EXACT ZERO (the kernels rely on it), and all
+# statistics divide by the true voxel count, never the padded row count.
+# ----------------------------------------------------------------------
+
+
+def _interpret_default() -> bool:
+    """Pallas interpret mode off-TPU (CPU tests, virtual meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def row_valid_mask(plan: PS2DPlan, dtype=jnp.bfloat16) -> jax.Array:
+    """(RT, 1): 1 where row r = a*P + b has a in [1, H2+1) and
+    b in [1, W2+1), else 0."""
+    import numpy as np
+    r = np.arange(plan.RT)
+    a, b = r // plan.P, r % plan.P
+    m = ((a >= 1) & (a < plan.H2 + 1)
+         & (b >= 1) & (b < plan.W2 + 1))
+    return jnp.asarray(m[:, None], dtype)
+
+
+def valid_count(plan: PS2DPlan) -> int:
+    return plan.H2 * plan.W2
+
+
+def conv1x1_flat(xfs, w: jax.Array, bias, plan: PS2DPlan, cis=None,
+                 mask: jax.Array = None) -> jax.Array:
+    """Pointwise conv on flat input(s): per-phase channel matmul over
+    the (possibly multi-input) channel concat. Output lanes 4*co (co
+    need not be padded — only KERNEL inputs need 128-multiple lanes).
+    Pad rows are re-zeroed (bias would otherwise leak into them)."""
+    if not isinstance(xfs, (tuple, list)):
+        xfs = (xfs,)
+    if w.ndim == 5:
+        w = w.reshape(w.shape[-2], w.shape[-1])
+    if cis is None:
+        cis = (w.shape[0],)
+    co = w.shape[1]
+    B, D, RT, _ = xfs[0].shape
+    y = None
+    coff = 0
+    for xf, ci in zip(xfs, cis):
+        cpad = xf.shape[-1] // 4
+        wi = w[coff:coff + ci]
+        coff += ci
+        if cpad != ci:
+            wi = jnp.pad(wi, ((0, cpad - ci), (0, 0)))
+        xr = xf.reshape(B, D, RT, 4, cpad)
+        t = jax.lax.dot_general(
+            xr, wi.astype(xf.dtype),
+            dimension_numbers=(((4,), (0,)), ((), ())))
+        y = t if y is None else y + t
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    y = y.reshape(B, D, RT, 4 * co)
+    if mask is None:
+        mask = row_valid_mask(plan, y.dtype)
+    return y * mask
+
+
+def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
+                    num_groups: int, plan: PS2DPlan, eps: float = 1e-5,
+                    mask: jax.Array = None) -> jax.Array:
+    """GroupNorm on a flat tensor — statistics identical to
+    ops.s2d.group_norm_s2d on the packed tensor (pads are exact zero,
+    so sums are unaffected; the divisor is the true voxel count).
+    The affine shift would break the zero pads, so the result is
+    re-masked."""
+    orig_dtype = xf.dtype
+    B, D, RT, C4 = xf.shape
+    c = C4 // 4
+    if c % num_groups:
+        raise ValueError(f"channels {c} not divisible by {num_groups}")
+    n = D * valid_count(plan)
+    x32 = xf.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=(1, 2)) / n                   # (B, C4)
+    s2 = jnp.sum(jnp.square(x32), axis=(1, 2)) / n
+    g1 = jnp.mean(s1.reshape(B, 4, num_groups, -1), axis=(1, 3))
+    g2 = jnp.mean(s2.reshape(B, 4, num_groups, -1), axis=(1, 3))
+    mean_c = jnp.repeat(g1, c // num_groups, axis=-1)    # (B, c)
+    var_c = jnp.maximum(
+        jnp.repeat(g2, c // num_groups, axis=-1) - jnp.square(mean_c),
+        0.0)
+    rstd_c = jax.lax.rsqrt(var_c + eps)
+    gm = gamma.astype(jnp.float32)
+    scale = jnp.tile(rstd_c * gm, (1, 4))                # (B, C4)
+    shift = jnp.tile(beta.astype(jnp.float32) - mean_c * rstd_c * gm,
+                     (1, 4))
+    if mask is None:
+        mask = row_valid_mask(plan, jnp.float32)
+    out = (x32 * scale[:, None, None, :]
+           + shift[:, None, None, :]) * mask
+    return out.astype(orig_dtype)
+
+
+def global_avg_pool_flat(xf: jax.Array, plan: PS2DPlan,
+                         keepdims: bool = True) -> jax.Array:
+    """AdaptiveAvgPool3d(1): mean over (spatial, phase) per channel,
+    dividing by the true voxel count (pads are zero)."""
+    B, D, RT, C4 = xf.shape
+    c = C4 // 4
+    s = jnp.sum(xf.astype(jnp.float32).reshape(B, D, RT, 4, c),
+                axis=(1, 2, 3)) / (4 * D * valid_count(plan))
+    s = s.astype(xf.dtype)
+    return s.reshape(B, 1, 1, 1, c) if keepdims else s
+
+
+def max_pool3d_from_flat(xf: jax.Array, plan: PS2DPlan) -> jax.Array:
+    """2x2x2 stride-2 max pool of a flat tensor -> NORMAL-layout
+    (B, D/2, H2, W2, c) next level (the H,W window IS the 4 phases)."""
+    yp = unpack_flat(xf, plan)
+    from ..s2d import max_pool3d_from_s2d
+    return max_pool3d_from_s2d(yp)
+
+
+def flat_to_normal(yf: jax.Array, plan: PS2DPlan) -> jax.Array:
+    """Flat padded -> normal (B, D, H, W, co) layout (region exit)."""
+    from ..s2d import depth_to_space_hw
+    return depth_to_space_hw(unpack_flat(yf, plan))
+
+
+def normal_to_flat(x: jax.Array, plan: PS2DPlan) -> jax.Array:
+    """Normal (B, D, H, W, c) -> flat padded form (region entry)."""
+    from ..s2d import space_to_depth_hw
+    return pack_flat(space_to_depth_hw(x), plan)

@@ -228,10 +228,19 @@ class ModernBrainTumorTrainer:
                 "validation split is EMPTY: val dice stays 0.0, so "
                 "save-on-best and early stopping are disabled for this "
                 "run (final weights are saved at the end)")
+        val_every = max(1, int(getattr(self.config, "val_interval", 1)))
+        last_val = {"loss": 0.0, "dice": 0.0, "hausdorff": 0.0}
         for epoch in range(self.start_epoch, num_epochs):
             t0 = time.time()
             train_m = self.train_epoch(train_loader, epoch)
-            val_m = self.validate_epoch(val_loader, epoch)
+            # Config.val_interval: validate every Nth epoch (the final
+            # epoch always validates); skipped epochs repeat the last
+            # scores so history stays one-entry-per-epoch
+            if epoch % val_every == 0 or epoch == num_epochs - 1:
+                val_m = self.validate_epoch(val_loader, epoch)
+                last_val = val_m
+            else:
+                val_m = last_val
             lr = current_lr(self.state, self.config.optimizer,
                             self._steps_per_epoch, self.learning_rate)
 

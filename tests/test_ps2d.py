@@ -105,6 +105,85 @@ def test_plan_pads_channels():
     assert GUARD % 16 == 0
 
 
+def test_multi_input_concat_in_k():
+    """conv(cat(a, u)) == two-input kernel (concat never materialized)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        input_plan, make_ps2d_plan_multi, ps2d_conv3d_flat_multi)
+    B, D, H, W, ca, cu, co = 1, 3, 8, 12, 32, 32, 32
+    a = jnp.asarray(RNG.normal(size=(B, D, H, W, ca)), jnp.bfloat16)
+    u = jnp.asarray(RNG.normal(size=(B, D, H, W, cu)), jnp.bfloat16)
+    w = jnp.asarray(RNG.normal(size=(3, 3, 3, ca + cu, co)) * 0.1,
+                    jnp.bfloat16)
+    plan = make_ps2d_plan_multi(H // 2, W // 2, (ca, cu), co)
+    af = pack_flat(space_to_depth_hw(a), input_plan(plan, 0))
+    uf = pack_flat(space_to_depth_hw(u), input_plan(plan, 1))
+    y = unpack_flat(ps2d_conv3d_flat_multi(
+        (af, uf), w, plan, cis=(ca, cu), interpret=True), plan)
+    ref = conv3d_s2d(
+        space_to_depth_hw(jnp.concatenate([a, u], axis=-1)), w)
+    _assert_bf16_close(np.asarray(y, np.float32),
+                       np.asarray(ref, np.float32))
+
+
+def test_flat_glue_ops_match_s2d():
+    """group_norm / conv1x1 / global pool on the flat form == the
+    packed-s2d implementations (true-count statistics, zero pads)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        conv1x1_flat, global_avg_pool_flat, group_norm_flat,
+        make_ps2d_plan, row_valid_mask)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.s2d import (
+        conv1x1_s2d, global_avg_pool_s2d, group_norm_s2d)
+    B, D, H, W, c = 1, 3, 8, 12, 32
+    x = jnp.asarray(RNG.normal(size=(B, D, H, W, c)), jnp.bfloat16)
+    xp = space_to_depth_hw(x)
+    plan = make_ps2d_plan(H // 2, W // 2, c, c)
+    xf = pack_flat(xp, plan)
+    gamma = jnp.asarray(RNG.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
+    beta = jnp.asarray(RNG.normal(size=(c,)) * 0.1, jnp.float32)
+    gn_f = unpack_flat(group_norm_flat(xf, gamma, beta, 8, plan), plan)
+    gn_s = group_norm_s2d(xp, gamma, beta, 8)
+    np.testing.assert_allclose(np.asarray(gn_f, np.float32),
+                               np.asarray(gn_s, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    w1 = jnp.asarray(RNG.normal(size=(c, 16)) * 0.1, jnp.bfloat16)
+    b1 = jnp.asarray(RNG.normal(size=(16,)) * 0.1, jnp.bfloat16)
+    c_f = unpack_flat(
+        conv1x1_flat(xf, w1, b1, plan)._replace
+        if False else conv1x1_flat(xf, w1, b1, plan),
+        plan._replace(N4=64, co=16))
+    c_s = conv1x1_s2d(xp, w1, b1)
+    np.testing.assert_allclose(np.asarray(c_f, np.float32),
+                               np.asarray(c_s, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    p_f = global_avg_pool_flat(xf, plan)
+    p_s = global_avg_pool_s2d(xp)
+    np.testing.assert_allclose(np.asarray(p_f, np.float32),
+                               np.asarray(p_s, np.float32),
+                               atol=1e-2, rtol=1e-2)
+    # pads exact-zero after each op
+    m = np.asarray(row_valid_mask(plan, jnp.float32))[None, None, :, :]
+    gn_full = np.asarray(group_norm_flat(xf, gamma, beta, 8, plan),
+                         np.float32)
+    assert np.abs(gn_full * (1 - m)).max() == 0
+
+
+def test_unet_ps2d_eval_matches_normal():
+    """UNet3D(ps2d_eval=True) == the normal eval forward with the SAME
+    parameters (checkpoint-portable), CPU interpret mode."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+    x = jnp.asarray(RNG.normal(size=(1, 4, 16, 24, 4)), jnp.float32)
+    base = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.bfloat16)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref = base.apply(variables, x, train=False)["logits"]
+    fast = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.bfloat16,
+                  ps2d_eval=True)
+    out = fast.apply(variables, x, train=False)["logits"]
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert d.max() <= 2 ** -6 * max(scale, 1.0), (d.max(), scale)
+
+
 def test_packed_convenience_wrapper():
     x = jnp.asarray(RNG.normal(size=(1, 3, 8, 8, 32)).astype(np.float32),
                     jnp.bfloat16)
