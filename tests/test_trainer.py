@@ -164,6 +164,29 @@ def test_trainer_end_to_end(brats_dir, tmp_path):
     assert report and os.path.exists(report)
 
 
+def test_val_interval_skips_validation(brats_dir, tmp_path):
+    """Config.val_interval=3: epochs 0 and 3 validate (plus the final
+    epoch), skipped epochs repeat the last scores — history stays
+    one-entry-per-epoch."""
+    cfg = tiny_config(models_dir=str(tmp_path / "m"),
+                      results_dir=str(tmp_path / "r"), val_interval=3)
+    train_loader, val_loader = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    trainer = ModernBrainTumorTrainer(
+        model, learning_rate=1e-3, experiment_name="pytest_vi",
+        config=cfg, hausdorff_every=100)
+    calls = []
+    real = trainer.validate_epoch
+    trainer.validate_epoch = lambda vl, epoch=0: (
+        calls.append(epoch) or real(vl, epoch))
+    history = trainer.train(train_loader, val_loader, num_epochs=5)
+    assert calls == [0, 3, 4]          # every 3rd + final
+    assert len(history["val_dice"]) == 5
+    assert history["val_dice"][1] == history["val_dice"][0]
+
+
 def test_checkpoint_roundtrip(brats_dir, tmp_path):
     cfg = tiny_config()
     model = models.UNet3D(out_channels=4, features=FEATS,
