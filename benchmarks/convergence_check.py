@@ -33,6 +33,13 @@ def main():
                     help="nnU-Net-style foreground-biased patch "
                          "sampling at native resolution")
     ap.add_argument("--val_interval", type=int, default=1)
+    ap.add_argument("--resume", type=str, default=None,
+                    help="checkpoint dir to resume from (continues the "
+                         "epoch counter and metrics history)")
+    ap.add_argument("--data_dir", type=str, default=None,
+                    help="persistent cohort dir; reused if it already "
+                         "contains cases (skips the slow 1-CPU "
+                         "synthetic-data regeneration on restarts)")
     ap.add_argument("--hausdorff_every", type=int, default=5)
     ap.add_argument("--long", action="store_true",
                     help="quality-demonstration preset (VERDICT r3 "
@@ -76,9 +83,15 @@ def main():
         cfg = cfg.replace(loss=dataclasses.replace(
             cfg.loss, use_deep_supervision=False))
 
-    data_dir = tempfile.mkdtemp(prefix="convergence_")
-    create_enhanced_synthetic_data(args.samples, data_dir,
-                                   shape=(96, 96, 64), seed=7)
+    import os
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="convergence_")
+    have = (os.path.isdir(data_dir)
+            and sum(1 for e in os.scandir(data_dir) if e.is_dir()))
+    if have and args.data_dir:
+        print(f"reusing {have}-case cohort in {data_dir}")
+    else:
+        create_enhanced_synthetic_data(args.samples, data_dir,
+                                       shape=(96, 96, 64), seed=7)
     train_loader, val_loader = create_brats_data_loaders(
         data_dir, batch_size=2, num_workers=2, image_size=size,
         aug_cfg=cfg.augment,
@@ -90,6 +103,8 @@ def main():
         model, learning_rate=1e-3, config=cfg,
         experiment_name="convergence_check",
         hausdorff_every=args.hausdorff_every)
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
     t0 = time.time()
     hist = trainer.train(train_loader, val_loader, args.epochs)
     dt = time.time() - t0

@@ -272,8 +272,6 @@ class AttentionGate3D(nn.Module):
         psi = gn(1, "gn_psi")(conv1(1, "psi")(psi, plan=plan), plan)
         psi = nn.sigmoid(psi)       # 0.5 at pads; x is zero there
         B, D, RT, _ = x.shape
-        x_spatial = (x.reshape(B, D, RT, 4, f_l)
-                     * psi[..., None]).reshape(x.shape)
 
         se = global_avg_pool_flat(x, plan)      # (B,1,1,1,f_l) normal
         se_conv = lambda f, name: Conv1x1(
@@ -281,8 +279,20 @@ class AttentionGate3D(nn.Module):
             param_dtype=self.param_dtype, name=name)
         se = nn.relu(se_conv(max(f_l // 8, 1), "se_down")(se))
         se = nn.sigmoid(se_conv(f_l, "se_up")(se))
-        se = jnp.tile(se.reshape(B, 1, 1, f_l), (1, 1, 1, 4))
-        return x_spatial * se
+        # Phase->lane broadcast: lanes are phase-major (p*f_l + c).
+        # Four formulations measured (benchmarks/profile_ps2d.py):
+        # the (...,4C)->(...,4,C) reshape multiply (1.4 ms relayouts on
+        # both sides — not (8,128)-tiling compatible), jnp.repeat (same
+        # reshape chain internally), per-phase broadcast+lane-concat
+        # (XLA materializes every branch; +7.5 ms), and a dot with the
+        # constant kron(I4, 1_f) expansion — the dot wins (fwd 97.8 vs
+        # 104.9/105.4 ms total).
+        expand = jnp.kron(jnp.eye(4, dtype=psi.dtype),
+                          jnp.ones((1, f_l), psi.dtype))
+        psi_wide = jax.lax.dot_general(
+            psi, expand, dimension_numbers=(((3,), (0,)), ((), ())))
+        se_wide = jnp.tile(se.reshape(B, 1, 1, f_l), (1, 1, 1, 4))
+        return x * psi_wide * se_wide
 
 
 class UNet3D(nn.Module):

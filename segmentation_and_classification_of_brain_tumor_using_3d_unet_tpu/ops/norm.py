@@ -30,6 +30,11 @@ def group_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     # then combine channels into group stats on a tiny (N, C) array and
     # broadcast back per channel.
     spatial_axes = tuple(range(1, x.ndim - 1))
+    # NOTE(perf, measured): fused-cast f32-accumulating reductions +
+    # bf16 apply were A/B'd here (benchmarks/profile_ps2d.py) and LOSE
+    # in the flagship forward (+3.5 ms): XLA fuses this shared-f32-copy
+    # form into the zcat conv pipeline better than the "optimized"
+    # single-consumer-cast form. Keep the materialized xf32.
     xf32 = x.astype(jnp.float32)
     s1 = jnp.mean(xf32, axis=spatial_axes)                  # (N, C)
     s2 = jnp.mean(jnp.square(xf32), axis=spatial_axes)      # (N, C)

@@ -512,9 +512,10 @@ def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by {num_groups}")
     n = D * valid_count(plan)
-    x32 = xf.astype(jnp.float32)
-    s1 = jnp.sum(x32, axis=(1, 2)) / n                   # (B, C4)
-    s2 = jnp.sum(jnp.square(x32), axis=(1, 2)) / n
+    # f32 ACCUMULATION, single-consumer casts (no materialized f32
+    # copy of the flat tensor — see ops/norm.py group_norm)
+    s1 = jnp.sum(xf, axis=(1, 2), dtype=jnp.float32) / n  # (B, C4)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2), dtype=jnp.float32) / n
     g1 = jnp.mean(s1.reshape(B, 4, num_groups, -1), axis=(1, 3))
     g2 = jnp.mean(s2.reshape(B, 4, num_groups, -1), axis=(1, 3))
     mean_c = jnp.repeat(g1, c // num_groups, axis=-1)    # (B, c)
@@ -527,10 +528,11 @@ def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
     shift = jnp.tile(beta.astype(jnp.float32) - mean_c * rstd_c * gm,
                      (1, 4))
     if mask is None:
-        mask = row_valid_mask(plan, jnp.float32)
-    out = (x32 * scale[:, None, None, :]
-           + shift[:, None, None, :]) * mask
-    return out.astype(orig_dtype)
+        mask = row_valid_mask(plan, orig_dtype)
+    # apply in the input dtype: one fused bf16 pass instead of reading
+    # a materialized f32 copy (scale/shift stay f32-derived)
+    return (xf * scale[:, None, None, :].astype(orig_dtype)
+            + shift[:, None, None, :].astype(orig_dtype)) * mask
 
 
 def global_avg_pool_flat(xf: jax.Array, plan: PS2DPlan,
@@ -539,8 +541,12 @@ def global_avg_pool_flat(xf: jax.Array, plan: PS2DPlan,
     dividing by the true voxel count (pads are zero)."""
     B, D, RT, C4 = xf.shape
     c = C4 // 4
-    s = jnp.sum(xf.astype(jnp.float32).reshape(B, D, RT, 4, c),
-                axis=(1, 2, 3)) / (4 * D * valid_count(plan))
+    # lane-preserving reduce first (f32 accumulation, fused cast),
+    # then the tiny (B, 4, c) phase fold — no 5-D reshape of the
+    # full-resolution tensor
+    s = jnp.sum(jnp.sum(xf, axis=(1, 2), dtype=jnp.float32)
+                .reshape(B, 4, c),
+                axis=1) / (4 * D * valid_count(plan))
     s = s.astype(xf.dtype)
     return s.reshape(B, 1, 1, 1, c) if keepdims else s
 

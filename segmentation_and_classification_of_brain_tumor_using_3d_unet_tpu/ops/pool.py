@@ -22,5 +22,9 @@ def max_pool3d(x: jax.Array, window: int = 2, stride: int | None = None
 
 
 def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
-    """Mean over spatial dims of NDHWC (AdaptiveAvgPool3d(1))."""
-    return jnp.mean(x, axis=tuple(range(1, x.ndim - 1)), keepdims=keepdims)
+    """Mean over spatial dims of NDHWC (AdaptiveAvgPool3d(1)).
+
+    f32 accumulation: a bf16-accumulated mean over millions of voxels
+    loses most of its mantissa; the cast fuses into the reduce."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim - 1)),
+                    keepdims=keepdims, dtype=jnp.float32).astype(x.dtype)

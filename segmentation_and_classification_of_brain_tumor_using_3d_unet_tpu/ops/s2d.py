@@ -175,9 +175,11 @@ def group_norm_s2d(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     c = c4 // 4
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by {num_groups}")
-    xf = x.astype(jnp.float32)
-    s1 = jnp.mean(xf, axis=(1, 2, 3))                    # (N, 4C)
-    s2 = jnp.mean(jnp.square(xf), axis=(1, 2, 3))
+    # f32 ACCUMULATION over the native-dtype tensor (single-consumer
+    # casts fuse into the reduces; a shared xf32 would materialize a
+    # full f32 copy — see ops/norm.py group_norm)
+    s1 = jnp.mean(x, axis=(1, 2, 3), dtype=jnp.float32)  # (N, 4C)
+    s2 = jnp.mean(jnp.square(x), axis=(1, 2, 3), dtype=jnp.float32)
     g1 = jnp.mean(s1.reshape(n, 4, num_groups, -1), axis=(1, 3))  # (N,G)
     g2 = jnp.mean(s2.reshape(n, 4, num_groups, -1), axis=(1, 3))
     mean_c = jnp.repeat(g1, c // num_groups, axis=-1)    # (N, C)
@@ -190,8 +192,8 @@ def group_norm_s2d(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     shift = jnp.tile(beta.astype(jnp.float32) - mean_c * rstd_c * gm,
                      (1, 4))
     shape = (n, 1, 1, 1, c4)
-    return (xf * scale.reshape(shape)
-            + shift.reshape(shape)).astype(orig_dtype)
+    return (x * scale.reshape(shape).astype(orig_dtype)
+            + shift.reshape(shape).astype(orig_dtype))
 
 
 def max_pool3d_from_s2d(x: jax.Array) -> jax.Array:
@@ -206,7 +208,10 @@ def max_pool3d_from_s2d(x: jax.Array) -> jax.Array:
 def global_avg_pool_s2d(x: jax.Array, keepdims: bool = True) -> jax.Array:
     """AdaptiveAvgPool3d(1) of an s2d tensor -> normal-layout (C,) mean."""
     B, D, H2, W2, C4 = x.shape
-    m = jnp.mean(x.reshape(B, D, H2, W2, 4, C4 // 4), axis=(1, 2, 3, 4))
+    # lane-preserving spatial reduce first (f32 accumulation, fused
+    # cast), then the tiny (B, 4, C) phase fold
+    m = (jnp.mean(x, axis=(1, 2, 3), dtype=jnp.float32)
+         .reshape(B, 4, C4 // 4).mean(axis=1).astype(x.dtype))
     return m.reshape(B, 1, 1, 1, -1) if keepdims else m
 
 
