@@ -54,12 +54,19 @@ class GroupNorm(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None):
+    def __call__(self, x, plan=None, return_affine=False):
         c = x.shape[-1] // 4 if (self.s2d or self.ps2d) else x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.ps2d:
-            from ..ops.pallas.ps2d import group_norm_flat
+            from ..ops.pallas.ps2d import (group_norm_flat,
+                                           group_norm_flat_affine)
+            if return_affine:
+                # per-lane (scale, shift) for the next kernel's on-load
+                # transform — no apply pass here
+                return group_norm_flat_affine(x, gamma, beta,
+                                              self.num_groups, plan,
+                                              self.eps)
             return group_norm_flat(x, gamma, beta, self.num_groups,
                                    plan, self.eps)
         if self.s2d:
@@ -93,9 +100,11 @@ class DoubleConv3D(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None):
+    def __call__(self, x, plan=None, gate=None):
         if self.ps2d:
-            return self._ps2d(x, plan)
+            return self._ps2d(x, plan, gate)
+        if gate is not None:
+            raise ValueError("gate folding requires the ps2d path")
         if self.s2d and not self.fast:
             raise ValueError("s2d DoubleConv requires fast=True")
         in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
@@ -133,10 +142,17 @@ class DoubleConv3D(nn.Module):
             out = out + res
         return out
 
-    def _ps2d(self, x, plan):
+    def _ps2d(self, x, plan, gate=None):
         """Flat-layout block: same parameter tree as the normal path
         (conv1 / gn1 / conv2 / gn2 / proj / gn_proj), convs via the
-        packed-s2d Pallas kernel, GN with true-count statistics."""
+        packed-s2d Pallas kernel, GN with true-count statistics.
+
+        ``gate``: optional (psi (B,D,RT,4), se (B, cis[0])) attention-
+        gate factors for input 0 — applied inside conv1's on-load
+        transform (psi via in_mul0, se via per-lane in_scale) and
+        folded into proj's weights/phase-dot, so the gated tensor is
+        NEVER materialized in HBM. gn1's affine + ReLU likewise ride
+        conv2's on-load transform instead of an XLA apply pass."""
         from ..ops.pallas.ps2d import make_ps2d_plan
         if not self.fast or self.quant_mode != "off":
             raise ValueError("ps2d DoubleConv requires fast=True, "
@@ -155,24 +171,45 @@ class DoubleConv3D(nn.Module):
                       dtype=self.dtype, param_dtype=self.param_dtype,
                       ps2d=True)
 
+        psi = se = mask0 = None
+        if gate is not None:
+            psi, se = gate
+            cp0 = plan.C4s[0] // 4
+            # full-lane psi*SE mask for conv1's on-load transform
+            # (lanes are phase-major; the kron expansion is the
+            # measured-fastest phase->lane broadcast — see the gate)
+            expand = jnp.kron(jnp.eye(4, dtype=psi.dtype),
+                              jnp.ones((1, cp0), psi.dtype))
+            se_pad = jnp.pad(se.astype(psi.dtype),
+                             ((0, 0), (0, cp0 - cis[0])))
+            mask0 = (jax.lax.dot_general(
+                psi, expand,
+                dimension_numbers=(((3,), (0,)), ((), ())))
+                * jnp.tile(se_pad, (1, 4))[:, None, None, :])
+
         out = FastConv3D(mid, (3, 3, 3), name="conv1", **common)(
-            xfs, plan=plan, cis=cis)
-        out = nn.relu(GroupNorm(8, ps2d=True, name="gn1")(out, plan))
+            xfs, plan=plan, cis=cis, in_mul0=mask0)
+        # gn1 affine + ReLU ride conv2's on-load transform
+        sc1, sh1 = GroupNorm(8, ps2d=True, name="gn1")(
+            out, plan, return_affine=True)
         plan_mid = make_ps2d_plan(plan.H2, plan.W2, mid,
                                   self.out_channels)
         out = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
-                         **common)(out, plan=plan_mid)
+                         **common)(out, plan=plan_mid,
+                                   in_scale=sc1.astype(self.dtype),
+                                   in_shift=sh1.astype(self.dtype),
+                                   in_relu=True)
         out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan))
 
         if in_ch == self.out_channels:
             if self.use_residual:
-                if len(xfs) != 1:
+                if len(xfs) != 1 or gate is not None:
                     raise ValueError("identity residual needs a single "
-                                     "ps2d input")
+                                     "ungated ps2d input")
                 out = out + xfs[0]
         else:
             res = Conv1x1(self.out_channels, name="proj", **common)(
-                xfs, plan=plan, cis=cis)
+                xfs, plan=plan, cis=cis, se0=se, psi0=psi)
             res = GroupNorm(8, ps2d=True, name="gn_proj")(res, plan)
             out = out + res
         return out
@@ -201,9 +238,11 @@ class AttentionGate3D(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, g, x, plan=None):
+    def __call__(self, g, x, plan=None, fold=False):
         if self.ps2d:
-            return self._ps2d(g, x, plan)
+            return self._ps2d(g, x, plan, fold)
+        if fold:
+            raise ValueError("gate factor folding requires ps2d")
         if self.s2d and not self.fast:
             raise ValueError("s2d AttentionGate requires fast=True")
         if self.fast:
@@ -252,8 +291,13 @@ class AttentionGate3D(nn.Module):
             se = jnp.tile(se, (1, 1, 1, 1, 4))
         return x_spatial * se
 
-    def _ps2d(self, g, x, plan):
-        """Flat-layout gate: same parameter tree as the normal path."""
+    def _ps2d(self, g, x, plan, fold=False):
+        """Flat-layout gate: same parameter tree as the normal path.
+
+        ``fold=True`` returns the factored mask ``(psi (B,D,RT,4),
+        se (B, f_l))`` instead of the gated tensor, so the consumer
+        (DoubleConv3D ps2d) can apply both inside its conv kernels
+        without ever materializing x*psi*se in HBM."""
         from ..ops.pallas.ps2d import global_avg_pool_flat
         if not self.fast:
             raise ValueError("ps2d AttentionGate requires fast=True")
@@ -279,6 +323,8 @@ class AttentionGate3D(nn.Module):
             param_dtype=self.param_dtype, name=name)
         se = nn.relu(se_conv(max(f_l // 8, 1), "se_down")(se))
         se = nn.sigmoid(se_conv(f_l, "se_up")(se))
+        if fold:
+            return psi, se.reshape(B, f_l)
         # Phase->lane broadcast: lanes are phase-major (p*f_l + c).
         # Four formulations measured (benchmarks/profile_ps2d.py):
         # the (...,4C)->(...,4,C) reshape multiply (1.4 ms relayouts on
@@ -469,11 +515,15 @@ class UNet3D(nn.Module):
                 up_f = pack_flat(x, input_plan(ps2d_plan, 1))
                 skip_f = pack_flat(space_to_depth_hw(skip),
                                    input_plan(ps2d_plan, 0))
-                x_att_f = AttentionGate3D(
+                # factored gate: psi/se are applied INSIDE the DC's
+                # conv kernels (on-load transform / weight fold) — the
+                # gated skip never materializes in HBM
+                psi, se = AttentionGate3D(
                     f_int=max(f // 2, 1), dtype=self.dtype,
                     param_dtype=self.param_dtype, fast=self.fast,
                     ps2d=True, name=f"att{i}")(
-                    g=up_f, x=skip_f, plan=input_plan(ps2d_plan, 0))
+                    g=up_f, x=skip_f, plan=input_plan(ps2d_plan, 0),
+                    fold=True)
                 # plain DoubleConv3D, NOT the remat-wrapped `dc`: remat
                 # would trace the static plan ints as dynamic args, and
                 # rematerialization is pointless at eval anyway (ps2d
@@ -481,7 +531,7 @@ class UNet3D(nn.Module):
                 x = DoubleConv3D(
                     f, dtype=self.dtype, param_dtype=self.param_dtype,
                     fast=self.fast, ps2d=True, name=f"dec{i}")(
-                    (x_att_f, up_f), plan=ps2d_plan)
+                    (skip_f, up_f), plan=ps2d_plan, gate=(psi, se))
                 x = flat_to_normal(x, ps2d_plan)
                 continue
             x_att = AttentionGate3D(

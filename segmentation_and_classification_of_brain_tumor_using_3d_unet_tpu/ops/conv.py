@@ -348,7 +348,7 @@ class Conv1x1(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None, cis=None):
+    def __call__(self, x, plan=None, cis=None, se0=None, psi0=None):
         if self.ps2d:
             from .pallas.ps2d import conv1x1_flat
             xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
@@ -364,7 +364,7 @@ class Conv1x1(nn.Module):
                 [xf.astype(self.dtype) for xf in xfs],
                 kernel.astype(self.dtype),
                 None if bias is None else bias.astype(self.dtype),
-                plan, cis=cis)
+                plan, cis=cis, se0=se0, psi0=psi0)
         cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (1, 1, 1, cin, self.features),
@@ -410,7 +410,8 @@ class FastConv3D(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None, cis=None):
+    def __call__(self, x, plan=None, cis=None, in_scale=None,
+                 in_shift=None, in_relu=False, in_mul0=None):
         k = tuple(self.kernel_size)
         if self.ps2d:
             if (k != (3, 3, 3) or self.use_bias
@@ -428,7 +429,8 @@ class FastConv3D(nn.Module):
             return ps2d_conv3d_flat_multi(
                 [xf.astype(self.dtype) for xf in xfs],
                 kernel.astype(self.dtype), plan, cis=cis,
-                interpret=_interpret_default())
+                in_scale=in_scale, in_shift=in_shift, in_relu=in_relu,
+                in_mul0=in_mul0, interpret=_interpret_default())
         if self.s2d:
             # calib excluded: this branch has no absmax sow, so the
             # model disables s2d for calib/int8 (see UNet3D.use_s2d)

@@ -172,38 +172,48 @@ def pack_w_rot(w: jax.Array, plan: PS2DPlan,
     if cis is None:
         cis = (w.shape[3],)
     assert len(cis) == len(plan.C4s) and sum(cis) == w.shape[3]
-    out = jnp.zeros((4, 2, K, N4), jnp.bfloat16)
-    base, coff = 0, 0
-    for i, (ci, C4i) in enumerate(zip(cis, plan.C4s)):
+    # assembled by concatenation (in K order: input i, then kw2, then
+    # slot j) rather than scatter .at[].set updates — the scatter form
+    # lowered to per-conv runtime gathers (~1.6 ms each on-chip)
+    w2ds, coff = [], 0
+    for ci, C4i in zip(cis, plan.C4s):
         wi = w[:, :, :, coff:coff + ci, :]
         coff += ci
         cip = C4i // 4
         if (cip, cop) != (ci, co):
             wi = jnp.pad(wi,
                          ((0, 0),) * 3 + ((0, cip - ci), (0, cop - co)))
-        w2d = pack_w_s2d(wi)            # (2, 2, 12*cip, 4*cop), kd-major
-        for rho in range(4):
-            for kh2 in range(2):
+        w2ds.append(pack_w_s2d(wi))     # (2, 2, 12*cip, 4*cop), kd-major
+    rows = []
+    for rho in range(4):
+        for kh2 in range(2):
+            blocks = []
+            for (ci, C4i), w2d in zip(zip(cis, plan.C4s), w2ds):
+                zblk = jnp.zeros((C4i, N4), jnp.bfloat16)
                 for kw2 in range(2):
                     for j in range(4):
                         dz = (j - rho + 1) % 4
-                        if dz == 3:
-                            continue
-                        blk = w2d[kh2, kw2,
-                                  dz * 4 * cip:(dz + 1) * 4 * cip]
-                        off = base + (kw2 * 4 + j) * C4i
-                        out = out.at[rho, kh2,
-                                     off:off + C4i].set(
-                            blk.astype(out.dtype))
-        base += 8 * C4i
-    return out
+                        blocks.append(
+                            zblk if dz == 3 else
+                            w2d[kh2, kw2, dz * C4i:(dz + 1) * C4i]
+                            .astype(jnp.bfloat16))
+            rows.append(jnp.concatenate(blocks, axis=0))
+    return jnp.stack(rows).reshape(4, 2, K, N4)
 
 
-def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
+def _kernel(*refs, plan: PS2DPlan, D: int, GH: int,
+            has_affine: bool = False, has_shift: bool = False,
+            has_relu: bool = False, has_mul0: bool = False):
     p = plan
     n_in = len(p.C4s)
     x_hbms = refs[:n_in]
-    w_ref, o_hbm, xbuf, ybuf, ostage, in_sem, out_sem = refs[n_in:]
+    refs = list(refs[n_in:])
+    mul0_hbm = refs.pop(0) if has_mul0 else None
+    w_ref = refs.pop(0)
+    ss_ref = refs.pop(0) if has_affine else None
+    o_hbm, xbuf = refs.pop(0), refs.pop(0)
+    pbuf = refs.pop(0) if has_mul0 else None
+    ybuf, ostage, in_sem, out_sem = refs
     bases = []
     acc = 0
     for C4i in p.C4s:
@@ -216,6 +226,7 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
     b = pl.program_id(0)
     g = pl.program_id(1)
     row0 = g * (Hb * P)          # first input flat row of this block
+    first, last = g == 0, g == GH - 1
 
     # ---------------- input DMA: slice s -> lane slot s % 4 ----------
     # One ALIGNED DMA per slice (HBM slices must be 8-row-tile aligned;
@@ -233,6 +244,10 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
                 x_hbm.at[b, s, pl.ds(row0, RS), :],
                 xbuf.at[:, pl.ds(lane0, C4i)],
                 in_sem.at[slot, i]))
+        if has_mul0:
+            out.append(pltpu.make_async_copy(
+                mul0_hbm.at[b, s, pl.ds(row0, RS), :],
+                pbuf.at[slot], in_sem.at[slot, n_in]))
         return out
 
     def start_load(s):
@@ -242,6 +257,51 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
     def wait_load(s):
         for c in load_copies(s):
             c.wait()
+
+    # ------------- on-load input transform (kernel v2) ----------------
+    # Applied to the landed kw2=0 slab BEFORE shift_slot copies it into
+    # the kw2=1 block, so both operand copies see transformed values.
+    # This is how the previous op's GroupNorm affine + ReLU (and the
+    # attention gate's psi/SE mask) ride the slab traffic the kernel
+    # already pays, instead of separate full-resolution XLA passes.
+    # in_valid guards the affine SHIFT: true pad positions must stay
+    # exact zero (they are the conv's SAME-padding halo).
+    if has_affine and has_shift:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (RS, 1), 0)
+        colr = jax.lax.rem(ri, P)
+        in_valid = jnp.logical_and(colr >= 1, colr <= p.W2)
+        # no jnp.where on bools: Mosaic cannot legalize i1 selects
+        in_valid = jnp.logical_and(
+            in_valid,
+            jnp.logical_or(jnp.logical_not(first), ri >= P))
+        in_valid = jnp.logical_and(
+            in_valid,
+            jnp.logical_or(jnp.logical_not(last), ri < RS - P))
+
+    def transform_slot(s):
+        if not (has_affine or has_mul0):
+            return
+        slot = jax.lax.rem(s, 4)
+        loff = 0
+        for i, C4i in enumerate(p.C4s):
+            lane0 = pl.multiple_of(bases[i] + slot * C4i, C4i)
+            v = None
+            if has_affine:
+                v = xbuf[:, pl.ds(lane0, C4i)]
+                sc = ss_ref[0, 0:1, pl.ds(loff, C4i)]      # (1, C4i)
+                sh = ss_ref[0, 1:2, pl.ds(loff, C4i)]
+                v = v * sc + sh
+                if has_relu:
+                    v = jnp.maximum(v, 0)
+                if has_shift:
+                    v = jnp.where(in_valid, v, 0)
+            if has_mul0 and i == 0:
+                if v is None:
+                    v = xbuf[:, pl.ds(lane0, C4i)]
+                v = v * pbuf[slot]
+            if v is not None:
+                xbuf[:, pl.ds(lane0, C4i)] = v.astype(xbuf.dtype)
+            loff += C4i
 
     def shift_slot(s):
         slot = jax.lax.rem(s, 4)
@@ -264,7 +324,6 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
     # Edge grid steps extend the write to cover the flat pad rows
     # (a = 0 and a = H2+1 (+16 guard)), so the out array is fully
     # written and chains as the next conv's input.
-    first, last = g == 0, g == GH - 1
     tail = 2 * P
 
     def store_copy(d):
@@ -311,6 +370,7 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
     if D >= 2:
         start_load(1)
     wait_load(0)
+    transform_slot(0)
     shift_slot(0)
 
     # dest-row validity: r = h2l*P + (w2+1); halo columns -> 0
@@ -321,6 +381,7 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
         @pl.when(d + 1 < D)
         def _():
             wait_load(d + 1)
+            transform_slot(d + 1)
             shift_slot(d + 1)
 
         @pl.when(d + 2 < D)
@@ -365,13 +426,33 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int):
 
 def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
                            cis=None, interpret: bool = False,
-                           vmem_limit: int = 24 * 2 ** 20) -> jax.Array:
+                           vmem_limit: int = 24 * 2 ** 20,
+                           in_scale: Optional[jax.Array] = None,
+                           in_shift: Optional[jax.Array] = None,
+                           in_relu: bool = False,
+                           in_mul0: Optional[jax.Array] = None
+                           ) -> jax.Array:
     """len(plan.C4s) flat inputs -> flat (B, D, RT, N4) bf16.
 
     Convolves the CHANNEL CONCAT of the inputs (w's input dim = the
     concat) without materializing it: the concat lives only in the
     kernel's K dimension. ``cis`` is the real channel split of w's
-    input dim (defaults to the single-input w shape)."""
+    input dim (defaults to the single-input w shape).
+
+    Kernel-v2 on-load input transforms (applied to the arriving slab,
+    riding the VMEM traffic the kernel already pays — each replaces a
+    full-resolution XLA pass):
+
+      * ``in_scale`` / ``in_shift`` (B, sum C4s) per-lane affine over
+        the input lane concat — the PREVIOUS op's GroupNorm affine.
+        With a shift, true pad positions are re-zeroed in-kernel.
+      * ``in_relu``: ReLU after the affine.
+      * ``in_mul0`` (B, D, RT, C4s[0]): per-position-per-lane
+        multiplier on input 0 — the attention gate's full psi*SE mask.
+        (A 4-lane per-phase form would halve nothing: lane-4 arrays
+        are physically 128 lanes under the (8,128) tiling, and Mosaic
+        cannot DMA sub-tile lane slices.)
+    """
     B, D, RT, _ = xfs[0].shape
     assert len(xfs) == len(plan.C4s)
     for xf, C4i in zip(xfs, plan.C4s):
@@ -379,26 +460,56 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
     assert RT == plan.RT, (RT, plan.RT)
     GH = plan.H2 // plan.Hb
     wr = pack_w_rot(w, plan, cis=cis).astype(xfs[0].dtype)
-    kern = functools.partial(_kernel, plan=plan, D=D, GH=GH)
     p = plan
+    C4sum = sum(p.C4s)
+    has_affine = in_scale is not None or in_shift is not None
+    has_shift = in_shift is not None
+    has_mul0 = in_mul0 is not None
+    kern = functools.partial(_kernel, plan=plan, D=D, GH=GH,
+                             has_affine=has_affine, has_shift=has_shift,
+                             has_relu=in_relu, has_mul0=has_mul0)
+    dt = xfs[0].dtype
+    extra_in, extra_specs = [], []
+    if has_mul0:
+        assert in_mul0.shape == (B, D, RT, p.C4s[0]), in_mul0.shape
+        extra_in.append(in_mul0.astype(dt))
+        extra_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    extra_in.append(wr)
+    extra_specs.append(
+        pl.BlockSpec((4, 2, p.K, p.N4), lambda b, g: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    if has_affine:
+        sc = (in_scale if in_scale is not None
+              else jnp.ones((B, C4sum), dt))
+        sh = (in_shift if in_shift is not None
+              else jnp.zeros((B, C4sum), dt))
+        ss = jnp.stack([sc.astype(dt), sh.astype(dt)], axis=1)
+        extra_in.append(ss)                       # (B, 2, C4sum)
+        extra_specs.append(
+            pl.BlockSpec((1, 2, C4sum), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
+    scratch = [
+        pltpu.VMEM(((p.Hb + 2) * p.P, p.K), dt),              # xbuf
+    ]
+    if has_mul0:
+        scratch.append(
+            pltpu.VMEM((4, (p.Hb + 2) * p.P, p.C4s[0]), dt))      # pbuf
+    scratch += [
+        pltpu.VMEM((GUARD + (p.Hb + 1) * p.P, p.N4),
+                   jnp.float32),                              # ybuf
+        pltpu.VMEM((2, p.Hb * p.P + 3 * p.P, p.N4), dt),      # ostage
+        pltpu.SemaphoreType.DMA((4, len(xfs) + (1 if has_mul0
+                                                else 0))),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, D, RT, p.N4), xfs[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D, RT, p.N4), dt),
         grid=(B, GH),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xfs) + [
-            pl.BlockSpec((4, 2, p.K, p.N4), lambda b, g: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xfs)
+        + extra_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM(((p.Hb + 2) * p.P, p.K), xfs[0].dtype),    # xbuf
-            pltpu.VMEM((GUARD + (p.Hb + 1) * p.P, p.N4),
-                       jnp.float32),                              # ybuf
-            pltpu.VMEM((2, p.Hb * p.P + 3 * p.P, p.N4),
-                       xfs[0].dtype),                             # ostage
-            pltpu.SemaphoreType.DMA((4, len(xfs))),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # Mosaic's default scoped-vmem limit is 16 MiB; the buffers
@@ -407,7 +518,7 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
             # (smaller blocks re-DMA proportionally more halo rows).
             vmem_limit_bytes=int(vmem_limit)),
         interpret=interpret,
-    )(*xfs, wr)
+    )(*xfs, *extra_in)
 
 
 def ps2d_conv3d_flat(xf: jax.Array, w: jax.Array, plan: PS2DPlan,
@@ -464,11 +575,19 @@ def valid_count(plan: PS2DPlan) -> int:
 
 
 def conv1x1_flat(xfs, w: jax.Array, bias, plan: PS2DPlan, cis=None,
-                 mask: jax.Array = None) -> jax.Array:
+                 mask: jax.Array = None, se0: jax.Array = None,
+                 psi0: jax.Array = None) -> jax.Array:
     """Pointwise conv on flat input(s): per-phase channel matmul over
     the (possibly multi-input) channel concat. Output lanes 4*co (co
     need not be padded — only KERNEL inputs need 128-multiple lanes).
-    Pad rows are re-zeroed (bias would otherwise leak into them)."""
+    Pad rows are re-zeroed (bias would otherwise leak into them).
+
+    ``se0`` (B, cis[0]) / ``psi0`` (B, D, RT, 4): the attention gate's
+    channel / spatial factors applied to input 0 WITHOUT materializing
+    the gated tensor — a 1x1 conv is per-position and phase-diagonal,
+    so se folds into input-0's weights (per-batch) and psi scales
+    input-0's dot contribution on the already-(…,4,co)-shaped
+    intermediate (no lane reshape)."""
     if not isinstance(xfs, (tuple, list)):
         xfs = (xfs,)
     if w.ndim == 5:
@@ -479,16 +598,27 @@ def conv1x1_flat(xfs, w: jax.Array, bias, plan: PS2DPlan, cis=None,
     B, D, RT, _ = xfs[0].shape
     y = None
     coff = 0
-    for xf, ci in zip(xfs, cis):
+    for i, (xf, ci) in enumerate(zip(xfs, cis)):
         cpad = xf.shape[-1] // 4
         wi = w[coff:coff + ci]
         coff += ci
+        if i == 0 and se0 is not None:
+            wi = wi * se0[..., None].astype(wi.dtype)   # (B, ci, co)
         if cpad != ci:
-            wi = jnp.pad(wi, ((0, cpad - ci), (0, 0)))
+            widths = ((0, 0),) * (wi.ndim - 2) + ((0, cpad - ci),
+                                                  (0, 0))
+            wi = jnp.pad(wi, widths)
         xr = xf.reshape(B, D, RT, 4, cpad)
-        t = jax.lax.dot_general(
-            xr, wi.astype(xf.dtype),
-            dimension_numbers=(((4,), (0,)), ((), ())))
+        if wi.ndim == 3:
+            t = jax.lax.dot_general(
+                xr, wi.astype(xf.dtype),
+                dimension_numbers=(((4,), (1,)), ((0,), (0,))))
+        else:
+            t = jax.lax.dot_general(
+                xr, wi.astype(xf.dtype),
+                dimension_numbers=(((4,), (0,)), ((), ())))
+        if i == 0 and psi0 is not None:
+            t = t * psi0[..., None].astype(t.dtype)     # (B,D,RT,4,1)
         y = t if y is None else y + t
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -498,15 +628,16 @@ def conv1x1_flat(xfs, w: jax.Array, bias, plan: PS2DPlan, cis=None,
     return y * mask
 
 
-def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
-                    num_groups: int, plan: PS2DPlan, eps: float = 1e-5,
-                    mask: jax.Array = None) -> jax.Array:
-    """GroupNorm on a flat tensor — statistics identical to
-    ops.s2d.group_norm_s2d on the packed tensor (pads are exact zero,
-    so sums are unaffected; the divisor is the true voxel count).
-    The affine shift would break the zero pads, so the result is
-    re-masked."""
-    orig_dtype = xf.dtype
+def group_norm_flat_affine(xf: jax.Array, gamma: jax.Array,
+                           beta: jax.Array, num_groups: int,
+                           plan: PS2DPlan, eps: float = 1e-5):
+    """GroupNorm statistics of a flat tensor -> per-lane (scale, shift)
+    f32 pairs of shape (B, C4), such that ``xf * scale + shift`` is the
+    normalized result. Statistics are identical to group_norm_s2d on
+    the packed tensor (pads are exact zero so sums are unaffected; the
+    divisor is the true voxel count). Split out so the affine can ride
+    the NEXT ps2d conv kernel's on-load transform instead of a
+    separate full-resolution apply pass."""
     B, D, RT, C4 = xf.shape
     c = C4 // 4
     if c % num_groups:
@@ -527,6 +658,18 @@ def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
     scale = jnp.tile(rstd_c * gm, (1, 4))                # (B, C4)
     shift = jnp.tile(beta.astype(jnp.float32) - mean_c * rstd_c * gm,
                      (1, 4))
+    return scale, shift
+
+
+def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
+                    num_groups: int, plan: PS2DPlan, eps: float = 1e-5,
+                    mask: jax.Array = None) -> jax.Array:
+    """GroupNorm on a flat tensor (see group_norm_flat_affine).
+    The affine shift would break the zero pads, so the result is
+    re-masked."""
+    orig_dtype = xf.dtype
+    scale, shift = group_norm_flat_affine(xf, gamma, beta, num_groups,
+                                          plan, eps)
     if mask is None:
         mask = row_valid_mask(plan, orig_dtype)
     # apply in the input dtype: one fused bf16 pass instead of reading

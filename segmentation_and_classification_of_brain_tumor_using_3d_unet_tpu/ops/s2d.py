@@ -106,10 +106,33 @@ def _pack_indices(ci: int, co: int):
 
 
 def pack_w_s2d(w: jax.Array) -> jax.Array:
-    """(3, 3, 3, Cin, Cout) DHWIO -> (2, 2, 12*Cin, 4*Cout) HWIO."""
+    """(3, 3, 3, Cin, Cout) DHWIO -> (2, 2, 12*Cin, 4*Cout) HWIO.
+
+    Assembled from static slices + concats of w rather than the
+    equivalent flat gather: a 1M-index gather costs ~1.6 ms per conv
+    on-chip at runtime (TPU gathers are serial), while the structured
+    form fuses to a trivial copy (benchmarks/profile_ps2d.py)."""
     ci, co = int(w.shape[3]), int(w.shape[4])
-    idx, valid = _pack_indices(ci, co)
-    return jnp.where(valid, w.reshape(-1)[idx], 0).astype(w.dtype)
+    z = jnp.zeros((ci, co), w.dtype)
+    halves = []
+    for kh2 in range(2):
+        for kw2 in range(2):
+            kd_blocks = []
+            for kd in range(3):
+                for ph in range(2):
+                    for pw in range(2):
+                        cols = []
+                        for qh in range(2):
+                            for qw in range(2):
+                                dh = qh - 2 + 2 * kh2 + ph
+                                dw = qw - 2 + 2 * kw2 + pw
+                                cols.append(
+                                    w[kd, dh + 1, dw + 1]
+                                    if -1 <= dh <= 1 and -1 <= dw <= 1
+                                    else z)
+                        kd_blocks.append(jnp.concatenate(cols, axis=-1))
+            halves.append(jnp.concatenate(kd_blocks, axis=0))
+    return jnp.stack(halves).reshape(2, 2, 12 * ci, 4 * co)
 
 
 def conv3d_s2d(x: jax.Array, w: jax.Array,
