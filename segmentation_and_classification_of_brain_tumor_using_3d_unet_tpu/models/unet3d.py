@@ -100,11 +100,12 @@ class DoubleConv3D(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None, gate=None):
+    def __call__(self, x, plan=None, gate=None, entry=False):
         if self.ps2d:
-            return self._ps2d(x, plan, gate)
-        if gate is not None:
-            raise ValueError("gate folding requires the ps2d path")
+            return self._ps2d(x, plan, gate, entry)
+        if gate is not None or entry:
+            raise ValueError("gate folding / flat-region entry require "
+                             "the ps2d path")
         if self.s2d and not self.fast:
             raise ValueError("s2d DoubleConv requires fast=True")
         in_ch = x.shape[-1] // 4 if self.s2d else x.shape[-1]
@@ -142,7 +143,7 @@ class DoubleConv3D(nn.Module):
             out = out + res
         return out
 
-    def _ps2d(self, x, plan, gate=None):
+    def _ps2d(self, x, plan, gate=None, entry=False):
         """Flat-layout block: same parameter tree as the normal path
         (conv1 / gn1 / conv2 / gn2 / proj / gn_proj), convs via the
         packed-s2d Pallas kernel, GN with true-count statistics.
@@ -152,7 +153,16 @@ class DoubleConv3D(nn.Module):
         transform (psi via in_mul0, se via per-lane in_scale) and
         folded into proj's weights/phase-dot, so the gated tensor is
         NEVER materialized in HBM. gn1's affine + ReLU likewise ride
-        conv2's on-load transform instead of an XLA apply pass."""
+        conv2's on-load transform instead of an XLA apply pass.
+
+        ``entry=True``: flat-REGION ENTRY variant (enc0). ``x`` is a
+        single PACKED-s2d tensor with few channels (enc0's ci=4, where
+        the ps2d kernel loses to XLA — RESULTS.md round 3); conv1 and
+        the residual proj run as XLA s2d ops and only their 32-channel
+        OUTPUTS are packed flat, so the 8x channel-padding blowup of a
+        4-channel flat tensor is never paid. ``plan`` is conv2's plan;
+        the block returns the flat form for the rest of the region
+        (pool, the level-0 skip consumed by the decoder stage)."""
         from ..ops.pallas.ps2d import make_ps2d_plan
         if not self.fast or self.quant_mode != "off":
             raise ValueError("ps2d DoubleConv requires fast=True, "
@@ -163,6 +173,8 @@ class DoubleConv3D(nn.Module):
             # non-32-multiple channel width would pad them and break
             # checkpoint compatibility
             raise ValueError("ps2d DoubleConv needs 32-multiple widths")
+        if entry:
+            return self._ps2d_entry(x, plan, gate)
         xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         cis = tuple(C4i // 4 for C4i in plan.C4s)
         in_ch = sum(cis)
@@ -212,6 +224,50 @@ class DoubleConv3D(nn.Module):
                 xfs, plan=plan, cis=cis, se0=se, psi0=psi)
             res = GroupNorm(8, ps2d=True, name="gn_proj")(res, plan)
             out = out + res
+        return out
+
+    def _ps2d_entry(self, xp, plan, gate=None):
+        """See ``_ps2d(entry=True)``. ``xp``: packed s2d
+        (B, D, H2, W2, 4*ci), ci < 32; returns flat (B, D, RT, N4)."""
+        from ..ops.pallas.ps2d import pack_flat
+        if gate is not None:
+            raise ValueError("entry blocks take no gate")
+        if isinstance(xp, (tuple, list)):
+            raise ValueError("entry blocks take a single packed input")
+        in_ch = xp.shape[-1] // 4
+        mid = self.mid_channels or self.out_channels
+        if (plan.ci, plan.co) != (mid, self.out_channels):
+            raise ValueError("entry plan must be conv2's plan")
+        common = dict(use_bias=False, kernel_init=KAIMING,
+                      dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # conv1 in the XLA s2d formulation (full 4*mid output lanes;
+        # the tiny-ci conv is not lane-bound — RESULTS.md round 3), its
+        # 32-channel output packed flat ONCE for the rest of the region
+        out1 = FastConv3D(mid, (3, 3, 3), s2d=True, name="conv1",
+                          **common)(xp)
+        out1 = pack_flat(out1, plan)
+        # gn1 affine + ReLU ride conv2's on-load transform
+        sc1, sh1 = GroupNorm(8, ps2d=True, name="gn1")(
+            out1, plan, return_affine=True)
+        out = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
+                         ps2d=True, **common)(
+            out1, plan=plan, in_scale=sc1.astype(self.dtype),
+            in_shift=sh1.astype(self.dtype), in_relu=True)
+        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan))
+
+        if in_ch == self.out_channels:
+            if self.use_residual:
+                raise ValueError("entry blocks require a projection "
+                                 "residual (in_ch != out_ch)")
+        else:
+            # proj + gn_proj on the packed few-channel input (tiny
+            # compute), flat-packed only at the add
+            res = Conv1x1(self.out_channels, s2d=True, name="proj",
+                          **common)(xp)
+            res = GroupNorm(8, s2d=True, name="gn_proj")(res)
+            # pack_flat reads only C4 (lane pad target) and P
+            out = out + pack_flat(res, plan._replace(C4=plan.N4))
         return out
 
 
@@ -441,16 +497,25 @@ class UNet3D(nn.Module):
         use_s2d = ((self.s2d_train if train else self.s2d_eval)
                    and self.fast and self.quant_mode == "off"
                    and all(s % 2 == 0 for s in full_res))
-        # packed-s2d Pallas path for the decoder-last stage: eval-only,
-        # takes precedence over s2d there (both target level 0)
-        ps2d_plan = None
+        # packed-s2d Pallas path for the level-0 extremities (the
+        # enc0 + dec0 hot spots of the crop-bucket forward): eval-only,
+        # takes precedence over s2d there (both target level 0).
+        # enc_plan drives enc0's conv2 and the flat-resident level-0
+        # skip; ps2d_plan the decoder stage's concat conv.
+        ps2d_plan = enc_plan = None
         if (self.ps2d_eval and not train and self.fast
                 and self.quant_mode == "off"
+                and feats[0] % 32 == 0  # DC width gate (GN param shapes)
                 and all(s % 2 == 0 for s in full_res)):
-            from ..ops.pallas.ps2d import make_ps2d_plan_multi
+            from ..ops.pallas.ps2d import (make_ps2d_plan,
+                                           make_ps2d_plan_multi)
             f0 = feats[0]
             ps2d_plan = make_ps2d_plan_multi(
                 full_res[1] // 2, full_res[2] // 2, (f0, f0), f0)
+            enc_plan = make_ps2d_plan(
+                full_res[1] // 2, full_res[2] // 2, f0, f0)
+            if ps2d_plan is None or enc_plan is None:
+                ps2d_plan = enc_plan = None
         if ps2d_plan is not None:
             use_s2d = False
         skips: List[jax.Array] = []
@@ -459,6 +524,31 @@ class UNet3D(nn.Module):
         # ---- encoder ----
         for i, f in enumerate(feats):
             lvl_s2d = use_s2d and i == 0
+            lvl_ps2d = ps2d_plan is not None and i == 0
+            if lvl_ps2d:
+                # flat-region entry: the whole enc0 stage (conv2 via
+                # the ps2d kernel) runs flat-resident, and the level-0
+                # skip STAYS flat until the decoder stage consumes it
+                # (no decoder-side re-pack)
+                from ..ops.pallas.ps2d import max_pool3d_from_flat
+                x = DoubleConv3D(
+                    f, dtype=self.dtype, param_dtype=self.param_dtype,
+                    fast=self.fast, ps2d=True, name=f"down{i}")(
+                    space_to_depth_hw(x), plan=enc_plan, entry=True)
+                skips.append(x)
+                # dead at eval (ps2d is eval-only; returned only when
+                # train) but traced so an eval-mode init creates the
+                # same parameter tree
+                deep.append(Conv1x1(
+                    self.out_channels, kernel_init=KAIMING,
+                    dtype=self.dtype, ps2d=True,
+                    param_dtype=self.param_dtype, name=f"deep{i}")(
+                    x, plan=enc_plan))
+                x = max_pool3d_from_flat(x, enc_plan)
+                x = nn.Dropout(self.dropout_rate,
+                               broadcast_dims=(1, 2, 3),
+                               deterministic=not train)(x)
+                continue
             if lvl_s2d:
                 x = space_to_depth_hw(x)
             x = block(f, f"down{i}", s2d=lvl_s2d)(x)
@@ -500,21 +590,22 @@ class UNet3D(nn.Module):
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"up{i}")(x)
             if lvl_ps2d:
-                # flat-resident stage: skip/up packed once, then the
-                # gate, both DC convs, GN glue and the residual run on
-                # flat tensors; the concat folds into the conv kernel's
-                # K dimension (models/../ops/pallas/ps2d.py)
+                # flat-resident stage: the skip arrives ALREADY flat
+                # from enc0 (no re-pack), the up output is packed once,
+                # then the gate, both DC convs, GN glue and the
+                # residual run on flat tensors; the concat folds into
+                # the conv kernel's K dim (models/../ops/pallas/ps2d.py)
                 from ..ops.pallas.ps2d import (flat_to_normal,
                                                input_plan, pack_flat)
                 if x.shape[2:4] != (ps2d_plan.H2, ps2d_plan.W2) or \
-                        skip.shape[1:4] != (x.shape[1], 2 * x.shape[2],
-                                            2 * x.shape[3]):
+                        skip.shape != (x.shape[0], x.shape[1],
+                                       ps2d_plan.RT,
+                                       ps2d_plan.C4s[0]):
                     raise ValueError(
                         "ps2d level 0: decoder/skip shape mismatch; "
                         "pad input dims to a multiple of 2**levels")
                 up_f = pack_flat(x, input_plan(ps2d_plan, 1))
-                skip_f = pack_flat(space_to_depth_hw(skip),
-                                   input_plan(ps2d_plan, 0))
+                skip_f = skip
                 # factored gate: psi/se are applied INSIDE the DC's
                 # conv kernels (on-load transform / weight fold) — the
                 # gated skip never materializes in HBM
