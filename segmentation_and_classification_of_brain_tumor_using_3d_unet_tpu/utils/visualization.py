@@ -288,27 +288,41 @@ class ModernMedicalVisualizer:
     def create_training_dashboard(self, history, save_path=None) -> str:
         return create_training_dashboard(history, save_path)
 
-    def create_performance_heatmap(self, confusion: np.ndarray,
+    def create_performance_heatmap(self, confusion, class_names=None,
                                    save_path: Optional[str] = None) -> str:
-        """Confusion-matrix heatmap. Uses seaborn's annotated-heatmap
-        styling when available (matching the reference,
-        ``utils/visualization.py:366-380``), plain matplotlib otherwise."""
-        cm = np.asarray(confusion, np.float64)
-        fig, ax = plt.subplots(figsize=(6, 5))
-        try:
-            import seaborn as sns
-            sns.heatmap(cm, annot=True, fmt=".0f", cmap="Blues",
-                        cbar=True, square=True, ax=ax)
-        except ImportError:
-            im = ax.imshow(cm, cmap="Blues")
-            for i in range(cm.shape[0]):
-                for j in range(cm.shape[1]):
-                    ax.text(j, i, f"{cm[i, j]:.0f}",
-                            ha="center", va="center")
-            ax.set_xticks(range(cm.shape[1]))
-            ax.set_yticks(range(cm.shape[0]))
-            fig.colorbar(im)
-        ax.set_xlabel("predicted"); ax.set_ylabel("true")
+        """Confusion-matrix heatmap(s). Accepts one matrix or a list of
+        per-class matrices rendered side-by-side with titled panels
+        (matching the reference's multi-panel seaborn layout,
+        ``utils/visualization.py:366-380``); seaborn's annotated
+        styling when available, plain matplotlib otherwise."""
+        if isinstance(confusion, (list, tuple)):
+            cms = [np.asarray(c, np.float64) for c in confusion]
+        else:
+            cms = [np.asarray(confusion, np.float64)]
+        if class_names is None:
+            class_names = [None] * len(cms)
+        fig, axes = plt.subplots(1, len(cms),
+                                 figsize=(5.5 * len(cms), 4.5))
+        if len(cms) == 1:
+            axes = [axes]
+        for ax, cm, name in zip(axes, cms, class_names):
+            try:
+                import seaborn as sns
+                sns.heatmap(cm, annot=True, fmt=".0f", cmap="Blues",
+                            cbar=True, square=True, ax=ax)
+            except ImportError:
+                im = ax.imshow(cm, cmap="Blues")
+                for i in range(cm.shape[0]):
+                    for j in range(cm.shape[1]):
+                        ax.text(j, i, f"{cm[i, j]:.0f}",
+                                ha="center", va="center")
+                ax.set_xticks(range(cm.shape[1]))
+                ax.set_yticks(range(cm.shape[0]))
+                fig.colorbar(im, ax=ax)
+            if name:
+                ax.set_title(f"{name} Confusion Matrix")
+            ax.set_xlabel("Predicted"); ax.set_ylabel("Actual")
+        fig.tight_layout()
         if save_path:
             fig.savefig(save_path, dpi=130, bbox_inches="tight")
         return _fig_to_base64(fig)

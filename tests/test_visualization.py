@@ -118,6 +118,11 @@ def test_heatmap_and_save(viz, tmp_path):
     p = viz.save_visualization(out, str(tmp_path / "h.png"))
     import os
     assert os.path.getsize(p) > 100
+    # reference multi-panel form (utils/visualization.py:366-380):
+    # list of per-class matrices + titles
+    out2 = viz.create_performance_heatmap(
+        [cm, cm.T], class_names=["Edema", "Enhancing"])
+    assert out2.startswith("data:image/png;base64,")
     p2 = viz.save_visualization("<html></html>", str(tmp_path / "x.html"))
     assert open(p2).read() == "<html></html>"
 
