@@ -54,9 +54,20 @@ def main():
                                       scheduler="constant"),
         use_tensorboard=False, batch_size=2)
 
+    # Mixed-burden cohort spanning the clinical grade ladder
+    # (grade_from_volume thresholds 0.1/1/5%): the default reference
+    # geometry only reaches ~0.1-0.7% burden (grade 0/1), which made
+    # the val grade distribution degenerate. Three radius bands at the
+    # 96x96x64 generation grid land in the three tumor-bearing grades;
+    # the 20% tumor_prob miss rate supplies grade 0.
     data_dir = tempfile.mkdtemp(prefix="quality_joint_")
-    data.create_enhanced_synthetic_data(args.samples, data_dir,
-                                        shape=(96, 96, 64), seed=11)
+    third = max(args.samples // 3, 1)
+    bands = [(None, 0), ((11, 17), third), ((20, 26), 2 * third)]
+    for band, start in bands:
+        data.create_enhanced_synthetic_data(
+            third if start < 2 * third else args.samples - 2 * third,
+            data_dir, shape=(96, 96, 64), seed=11 + start,
+            size_range=band, start_index=start)
     train_loader, val_loader = data.create_brats_data_loaders(
         data_dir, batch_size=2, num_workers=2, image_size=size,
         aug_cfg=cfg.augment)

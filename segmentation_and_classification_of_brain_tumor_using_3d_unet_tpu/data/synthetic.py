@@ -93,7 +93,10 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
                                    fmt: str = "nii.gz",
                                    seed: int = 42,
                                    tumor_prob: float = 0.8,
-                                   skull_stripped: bool = False) -> str:
+                                   skull_stripped: bool = False,
+                                   size_range: Optional[Tuple[int, int]]
+                                   = None,
+                                   start_index: int = 0) -> str:
     """Tier 2: BraTS-layout synthetic cohort (reference
     ``train_model.py:25-118``).
 
@@ -105,6 +108,14 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
     ``skull_stripped=True`` zeroes everything outside the brain mask —
     real BraTS volumes are skull-stripped the same way — enabling the
     nnU-Net foreground-cropping path (``inference/cropping.py``).
+
+    ``size_range=(lo, hi)`` overrides the default tumor-radius draw
+    (voxels, hi exclusive) — the default (reference geometry) yields
+    tumor burdens of only ~0.1-0.7% of the volume, so cohorts needing
+    the full clinical grade ladder (``models/joint.py:
+    grade_from_volume``: >0.1/1/5%) mix several calls with different
+    ranges. ``start_index`` offsets the patient ids so multiple calls
+    can fill ONE cohort dir without colliding.
     """
     assert fmt in ("nii.gz", "nii", "npy")
     rng = np.random.default_rng(seed)
@@ -115,9 +126,10 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
     D, H, W = shape
     brain = _sphere_mask(shape, (D / 2, H / 2, W / 2), min(shape) * 0.42)
 
-    for i in range(num_samples):
+    for i in range(start_index, start_index + num_samples):
         pid = f"BraTS-Synth-{i:04d}"
-        split = "train" if i < num_samples * 0.8 else "val"
+        split = ("train"
+                 if (i - start_index) < num_samples * 0.8 else "val")
         pdir = save_dir_p / split / pid
         pdir.mkdir(exist_ok=True)
 
@@ -127,8 +139,10 @@ def create_enhanced_synthetic_data(num_samples: int = 100,
             tc = (rng.integers(D // 3, 2 * D // 3),
                   rng.integers(H // 3, 2 * H // 3),
                   rng.integers(W // 4, 3 * W // 4))
-            size = rng.integers(max(6, min(shape) // 16),
-                                max(10, min(shape) // 6))
+            lo, hi = (size_range if size_range is not None
+                      else (max(6, min(shape) // 16),
+                            max(10, min(shape) // 6)))
+            size = rng.integers(lo, hi)
             seg[_sphere_mask(shape, tc, size)] = 2            # edema
             seg[_sphere_mask(shape, tc, size * 0.6)] = 1      # necrotic
             seg[_sphere_mask(shape, tc, size * 0.3)] = 4      # enhancing

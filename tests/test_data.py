@@ -109,6 +109,28 @@ def test_enhanced_synthetic_skull_stripped(tmp_path):
     assert all(h - l < s for (l, h, s) in zip(lo, hi, SMALL))
 
 
+def test_enhanced_synthetic_size_range_and_start_index(tmp_path):
+    """size_range controls tumor burden (grade-ladder cohorts,
+    benchmarks/quality_joint.py); start_index lets several calls fill
+    one cohort dir without pid collisions."""
+    d = str(tmp_path / "B")
+    create_enhanced_synthetic_data(2, d, shape=SMALL, fmt="npy", seed=5,
+                                   tumor_prob=1.0, size_range=(3, 4))
+    create_enhanced_synthetic_data(2, d, shape=SMALL, fmt="npy", seed=6,
+                                   tumor_prob=1.0, size_range=(9, 10),
+                                   start_index=2)
+    import glob
+    cases = sorted(p.split("/")[-1] for p in glob.glob(d + "/*/*"))
+    assert cases == [f"BraTS-Synth-{i:04d}" for i in range(4)]
+    burden = {}
+    for pid in cases:
+        seg = glob.glob(f"{d}/*/{pid}/{pid}_seg.npy")[0]
+        burden[pid] = (np.load(seg) > 0).mean()
+    # radius 9 vs 3 => ~27x the burden (sphere volume), well separated
+    assert min(burden["BraTS-Synth-0002"], burden["BraTS-Synth-0003"]) \
+        > 5 * max(burden["BraTS-Synth-0000"], burden["BraTS-Synth-0001"])
+
+
 def test_dataset_cache_serves_hits(tmp_path):
     """Reference bug (training.py:77-113): cache stops serving once full."""
     d = create_enhanced_synthetic_data(2, str(tmp_path / "B"), shape=SMALL,
