@@ -64,9 +64,14 @@ def main():
     third = max(args.samples // 3, 1)
     bands = [(None, 0), ((11, 17), third), ((20, 26), 2 * third)]
     for band, start in bands:
+        # clamp each band to the remaining budget so --samples < 3
+        # still generates exactly args.samples cases
+        n = min(third, args.samples - start) if start < 2 * third \
+            else args.samples - 2 * third
+        if n <= 0:
+            continue
         data.create_enhanced_synthetic_data(
-            third if start < 2 * third else args.samples - 2 * third,
-            data_dir, shape=(96, 96, 64), seed=11 + start,
+            n, data_dir, shape=(96, 96, 64), seed=11 + start,
             size_range=band, start_index=start)
     train_loader, val_loader = data.create_brats_data_loaders(
         data_dir, batch_size=2, num_workers=2, image_size=size,

@@ -288,7 +288,7 @@ class ModernMedicalVisualizer:
     def create_training_dashboard(self, history, save_path=None) -> str:
         return create_training_dashboard(history, save_path)
 
-    def create_performance_heatmap(self, confusion, class_names=None,
+    def create_performance_heatmap(self, confusion, *, class_names=None,
                                    save_path: Optional[str] = None) -> str:
         """Confusion-matrix heatmap(s). Accepts one matrix or a list of
         per-class matrices rendered side-by-side with titled panels
