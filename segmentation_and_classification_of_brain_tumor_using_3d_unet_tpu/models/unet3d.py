@@ -54,7 +54,7 @@ class GroupNorm(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None, return_affine=False):
+    def __call__(self, x, plan=None, return_affine=False, sums=None):
         c = x.shape[-1] // 4 if (self.s2d or self.ps2d) else x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -63,12 +63,16 @@ class GroupNorm(nn.Module):
                                            group_norm_flat_affine)
             if return_affine:
                 # per-lane (scale, shift) for the next kernel's on-load
-                # transform — no apply pass here
+                # transform — no apply pass here. ``sums``: kernel-
+                # emitted statistics (FastConv3D(emit_stats=True)) —
+                # skips the full-resolution stats read pass.
                 return group_norm_flat_affine(x, gamma, beta,
                                               self.num_groups, plan,
-                                              self.eps)
+                                              self.eps, sums=sums)
             return group_norm_flat(x, gamma, beta, self.num_groups,
-                                   plan, self.eps)
+                                   plan, self.eps, sums=sums)
+        if sums is not None:
+            raise ValueError("kernel stats require the ps2d path")
         if self.s2d:
             return group_norm_s2d(x, gamma, beta, self.num_groups,
                                   self.eps)
@@ -199,19 +203,22 @@ class DoubleConv3D(nn.Module):
                 dimension_numbers=(((3,), (0,)), ((), ())))
                 * jnp.tile(se_pad, (1, 4))[:, None, None, :])
 
-        out = FastConv3D(mid, (3, 3, 3), name="conv1", **common)(
-            xfs, plan=plan, cis=cis, in_mul0=mask0)
+        # both convs emit their output statistics in-kernel, so neither
+        # GroupNorm pays a full-resolution stats read pass
+        out, st1 = FastConv3D(mid, (3, 3, 3), name="conv1", **common)(
+            xfs, plan=plan, cis=cis, in_mul0=mask0, emit_stats=True)
         # gn1 affine + ReLU ride conv2's on-load transform
         sc1, sh1 = GroupNorm(8, ps2d=True, name="gn1")(
-            out, plan, return_affine=True)
+            out, plan, return_affine=True, sums=st1)
         plan_mid = make_ps2d_plan(plan.H2, plan.W2, mid,
                                   self.out_channels)
-        out = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
-                         **common)(out, plan=plan_mid,
-                                   in_scale=sc1.astype(self.dtype),
-                                   in_shift=sh1.astype(self.dtype),
-                                   in_relu=True)
-        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan))
+        out, st2 = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
+                              **common)(out, plan=plan_mid,
+                                        in_scale=sc1.astype(self.dtype),
+                                        in_shift=sh1.astype(self.dtype),
+                                        in_relu=True, emit_stats=True)
+        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan,
+                                                          sums=st2))
 
         if in_ch == self.out_channels:
             if self.use_residual:
@@ -250,11 +257,13 @@ class DoubleConv3D(nn.Module):
         # gn1 affine + ReLU ride conv2's on-load transform
         sc1, sh1 = GroupNorm(8, ps2d=True, name="gn1")(
             out1, plan, return_affine=True)
-        out = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
-                         ps2d=True, **common)(
+        out, st2 = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
+                              ps2d=True, **common)(
             out1, plan=plan, in_scale=sc1.astype(self.dtype),
-            in_shift=sh1.astype(self.dtype), in_relu=True)
-        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan))
+            in_shift=sh1.astype(self.dtype), in_relu=True,
+            emit_stats=True)
+        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan,
+                                                          sums=st2))
 
         if in_ch == self.out_channels:
             if self.use_residual:

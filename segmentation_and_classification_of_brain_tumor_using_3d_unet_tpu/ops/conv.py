@@ -411,7 +411,8 @@ class FastConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, plan=None, cis=None, in_scale=None,
-                 in_shift=None, in_relu=False, in_mul0=None):
+                 in_shift=None, in_relu=False, in_mul0=None,
+                 emit_stats=False):
         k = tuple(self.kernel_size)
         if self.ps2d:
             if (k != (3, 3, 3) or self.use_bias
@@ -430,7 +431,10 @@ class FastConv3D(nn.Module):
                 [xf.astype(self.dtype) for xf in xfs],
                 kernel.astype(self.dtype), plan, cis=cis,
                 in_scale=in_scale, in_shift=in_shift, in_relu=in_relu,
-                in_mul0=in_mul0, interpret=_interpret_default())
+                in_mul0=in_mul0, emit_stats=emit_stats,
+                interpret=_interpret_default())
+        if emit_stats:
+            raise ValueError("emit_stats requires the ps2d path")
         if self.s2d:
             # calib excluded: this branch has no absmax sow, so the
             # model disables s2d for calib/int8 (see UNet3D.use_s2d)

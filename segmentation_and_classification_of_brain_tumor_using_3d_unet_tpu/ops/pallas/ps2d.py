@@ -203,7 +203,8 @@ def pack_w_rot(w: jax.Array, plan: PS2DPlan,
 
 def _kernel(*refs, plan: PS2DPlan, D: int, GH: int,
             has_affine: bool = False, has_shift: bool = False,
-            has_relu: bool = False, has_mul0: bool = False):
+            has_relu: bool = False, has_mul0: bool = False,
+            emit_stats: bool = False):
     p = plan
     n_in = len(p.C4s)
     x_hbms = refs[:n_in]
@@ -211,7 +212,9 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int,
     mul0_hbm = refs.pop(0) if has_mul0 else None
     w_ref = refs.pop(0)
     ss_ref = refs.pop(0) if has_affine else None
-    o_hbm, xbuf = refs.pop(0), refs.pop(0)
+    o_hbm = refs.pop(0)
+    stats_ref = refs.pop(0) if emit_stats else None
+    xbuf = refs.pop(0)
     pbuf = refs.pop(0) if has_mul0 else None
     ybuf, ostage, in_sem, out_sem = refs
     bases = []
@@ -366,6 +369,13 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int,
     xbuf[:] = jnp.zeros((RS, p.K), xbuf.dtype)
     ybuf[0:GUARD] = jnp.zeros((GUARD, N4), ybuf.dtype)
     ostage[:] = jnp.zeros((2, HbP + 3 * P, N4), ostage.dtype)
+    if emit_stats:
+        # stats block index is (b, 0, 0): the buffer stays resident
+        # across the g steps of one batch item (standard minor-most
+        # reduction), so zero it once per b
+        @pl.when(g == 0)
+        def _():
+            stats_ref[0] = jnp.zeros((8, N4), jnp.float32)
     start_load(0)
     if D >= 2:
         start_load(1)
@@ -410,8 +420,23 @@ def _kernel(*refs, plan: PS2DPlan, D: int, GH: int,
                 off = GUARD - 1 + qh * P + qw
                 co = N4 // 4
                 src = ybuf[pl.ds(off, HbP), q * co:(q + 1) * co]
-                ostage[sl, P:P + HbP, q * co:(q + 1) * co] = jnp.where(
-                    valid, src, 0.0).astype(ostage.dtype)
+                valbf = jnp.where(valid, src, 0.0).astype(ostage.dtype)
+                ostage[sl, P:P + HbP, q * co:(q + 1) * co] = valbf
+                if emit_stats:
+                    # per-lane sum / sum-of-squares of the bf16 OUTPUT
+                    # values (f32 accumulation) — the next GroupNorm's
+                    # statistics ride the store the kernel already
+                    # pays, replacing a full-resolution XLA read pass.
+                    # Summing the CAST values keeps the statistics
+                    # identical (up to f32 order) to the XLA path's
+                    # sums over the bf16 tensor.
+                    v32 = valbf.astype(jnp.float32)
+                    s1 = stats_ref[0, 0:1, pl.ds(q * co, co)]
+                    stats_ref[0, 0:1, pl.ds(q * co, co)] = (
+                        s1 + jnp.sum(v32, axis=0, keepdims=True))
+                    s2 = stats_ref[0, 1:2, pl.ds(q * co, co)]
+                    stats_ref[0, 1:2, pl.ds(q * co, co)] = (
+                        s2 + jnp.sum(v32 * v32, axis=0, keepdims=True))
         start_store(d)
         return carry
 
@@ -430,8 +455,8 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
                            in_scale: Optional[jax.Array] = None,
                            in_shift: Optional[jax.Array] = None,
                            in_relu: bool = False,
-                           in_mul0: Optional[jax.Array] = None
-                           ) -> jax.Array:
+                           in_mul0: Optional[jax.Array] = None,
+                           emit_stats: bool = False):
     """len(plan.C4s) flat inputs -> flat (B, D, RT, N4) bf16.
 
     Convolves the CHANNEL CONCAT of the inputs (w's input dim = the
@@ -452,6 +477,13 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
         (A 4-lane per-phase form would halve nothing: lane-4 arrays
         are physically 128 lanes under the (8,128) tiling, and Mosaic
         cannot DMA sub-tile lane slices.)
+
+    ``emit_stats=True`` additionally returns per-lane output
+    statistics ``(s1, s2)`` of shape (B, N4) f32 — raw sums and
+    sums-of-squares of the bf16 output over the valid positions,
+    accumulated in-kernel during the output stage. The consuming
+    GroupNorm (``group_norm_flat_affine(sums=...)``) then skips its
+    full-resolution statistics read pass.
     """
     B, D, RT, _ = xfs[0].shape
     assert len(xfs) == len(plan.C4s)
@@ -467,7 +499,8 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
     has_mul0 = in_mul0 is not None
     kern = functools.partial(_kernel, plan=plan, D=D, GH=GH,
                              has_affine=has_affine, has_shift=has_shift,
-                             has_relu=in_relu, has_mul0=has_mul0)
+                             has_relu=in_relu, has_mul0=has_mul0,
+                             emit_stats=emit_stats)
     dt = xfs[0].dtype
     extra_in, extra_specs = [], []
     if has_mul0:
@@ -502,13 +535,21 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
                                                 else 0))),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((B, D, RT, p.N4), dt)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    if emit_stats:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, 8, p.N4), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 8, p.N4), lambda b, g: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, D, RT, p.N4), dt),
+        out_shape=out_shape,
         grid=(B, GH),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xfs)
         + extra_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -519,6 +560,10 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
             vmem_limit_bytes=int(vmem_limit)),
         interpret=interpret,
     )(*xfs, *extra_in)
+    if emit_stats:
+        yf, st = res
+        return yf, (st[:, 0], st[:, 1])
+    return res
 
 
 def ps2d_conv3d_flat(xf: jax.Array, w: jax.Array, plan: PS2DPlan,
@@ -630,23 +675,37 @@ def conv1x1_flat(xfs, w: jax.Array, bias, plan: PS2DPlan, cis=None,
 
 def group_norm_flat_affine(xf: jax.Array, gamma: jax.Array,
                            beta: jax.Array, num_groups: int,
-                           plan: PS2DPlan, eps: float = 1e-5):
+                           plan: PS2DPlan, eps: float = 1e-5,
+                           sums=None):
     """GroupNorm statistics of a flat tensor -> per-lane (scale, shift)
     f32 pairs of shape (B, C4), such that ``xf * scale + shift`` is the
     normalized result. Statistics are identical to group_norm_s2d on
     the packed tensor (pads are exact zero so sums are unaffected; the
     divisor is the true voxel count). Split out so the affine can ride
     the NEXT ps2d conv kernel's on-load transform instead of a
-    separate full-resolution apply pass."""
+    separate full-resolution apply pass.
+
+    ``sums``: optional kernel-emitted per-lane raw (sum, sum_sq) f32
+    pair of shape (B, C4) (ps2d_conv3d_flat_multi(emit_stats=True)) —
+    skips the full-resolution statistics read passes entirely. Only
+    valid when the producing conv's lanes are unpadded (N4 == 4*c)."""
     B, D, RT, C4 = xf.shape
     c = C4 // 4
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by {num_groups}")
     n = D * valid_count(plan)
-    # f32 ACCUMULATION, single-consumer casts (no materialized f32
-    # copy of the flat tensor — see ops/norm.py group_norm)
-    s1 = jnp.sum(xf, axis=(1, 2), dtype=jnp.float32) / n  # (B, C4)
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2), dtype=jnp.float32) / n
+    if sums is not None:
+        if sums[0].shape != (B, C4):
+            raise ValueError(
+                f"kernel stats lanes {sums[0].shape} != (B, {C4}); "
+                "channel-padded conv outputs cannot feed GN stats")
+        s1, s2 = sums[0] / n, sums[1] / n
+    else:
+        # f32 ACCUMULATION, single-consumer casts (no materialized f32
+        # copy of the flat tensor — see ops/norm.py group_norm)
+        s1 = jnp.sum(xf, axis=(1, 2), dtype=jnp.float32) / n  # (B, C4)
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2),
+                     dtype=jnp.float32) / n
     g1 = jnp.mean(s1.reshape(B, 4, num_groups, -1), axis=(1, 3))
     g2 = jnp.mean(s2.reshape(B, 4, num_groups, -1), axis=(1, 3))
     mean_c = jnp.repeat(g1, c // num_groups, axis=-1)    # (B, c)
@@ -663,13 +722,13 @@ def group_norm_flat_affine(xf: jax.Array, gamma: jax.Array,
 
 def group_norm_flat(xf: jax.Array, gamma: jax.Array, beta: jax.Array,
                     num_groups: int, plan: PS2DPlan, eps: float = 1e-5,
-                    mask: jax.Array = None) -> jax.Array:
+                    mask: jax.Array = None, sums=None) -> jax.Array:
     """GroupNorm on a flat tensor (see group_norm_flat_affine).
     The affine shift would break the zero pads, so the result is
     re-masked."""
     orig_dtype = xf.dtype
     scale, shift = group_norm_flat_affine(xf, gamma, beta, num_groups,
-                                          plan, eps)
+                                          plan, eps, sums=sums)
     if mask is None:
         mask = row_valid_mask(plan, orig_dtype)
     # apply in the input dtype: one fused bf16 pass instead of reading

@@ -225,6 +225,42 @@ def test_unet_ps2d_eval_matches_normal():
     assert (lab_f == lab_r).mean() >= 0.99, (lab_f != lab_r).mean()
 
 
+def test_kernel_emitted_stats_match_xla_sums():
+    """emit_stats=True returns per-lane (sum, sum_sq) of the bf16
+    output over valid positions == the XLA-side f32 sums the GroupNorm
+    statistics pass would compute (up to f32 summation order)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        ps2d_conv3d_flat_multi)
+    B, D, H, W, ci, co = 2, 5, 8, 12, 32, 32
+    x = jnp.asarray(RNG.normal(size=(B, D, H, W, ci)), jnp.bfloat16)
+    w = jnp.asarray(RNG.normal(size=(3, 3, 3, ci, co)) * 0.1,
+                    jnp.bfloat16)
+    plan = make_ps2d_plan(H // 2, W // 2, ci, co)._replace(Hb=2)
+    xf = pack_flat(space_to_depth_hw(x), plan)
+    yf, (s1, s2) = ps2d_conv3d_flat_multi((xf,), w, plan,
+                                          emit_stats=True,
+                                          interpret=True)
+    ref1 = np.asarray(jnp.sum(yf, axis=(1, 2), dtype=jnp.float32))
+    # the kernel squares the bf16 values in f32 (more accurate than the
+    # XLA stats pass, which squares in bf16 before accumulating)
+    ref2 = np.asarray(jnp.sum(jnp.square(yf.astype(jnp.float32)),
+                              axis=(1, 2)))
+    np.testing.assert_allclose(np.asarray(s1), ref1, rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), ref2, rtol=1e-4,
+                               atol=1e-3)
+    # GroupNorm from kernel stats == GroupNorm from the tensor
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        group_norm_flat)
+    gamma = jnp.asarray(RNG.normal(size=(co,)) * 0.5 + 1.0, jnp.float32)
+    beta = jnp.asarray(RNG.normal(size=(co,)) * 0.1, jnp.float32)
+    a = group_norm_flat(yf, gamma, beta, 8, plan, sums=(s1, s2))
+    b = group_norm_flat(yf, gamma, beta, 8, plan)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_packed_convenience_wrapper():
     x = jnp.asarray(RNG.normal(size=(1, 3, 8, 8, 32)).astype(np.float32),
                     jnp.bfloat16)
