@@ -167,10 +167,12 @@ def main():
                          "on host; prints a second JSON line")
     ap.add_argument("--e2e_only", action="store_true",
                     help="with --e2e: skip the headline measurement")
-    ap.add_argument("--e2e_fmt", choices=("nii.gz", "nii"),
+    ap.add_argument("--e2e_fmt", choices=("nii.gz", "nii", "npy"),
                     default="nii.gz",
                     help="on-disk format for --e2e ('nii' models a "
-                         "pre-inflated host cache)")
+                         "pre-inflated host cache; 'npy' a raw array "
+                         "cache read via mmap — only the bbox probe "
+                         "and crop windows touch pages)")
     ap.add_argument("--e2e_workers", type=int, default=2,
                     help="host decode threads for --e2e")
     ap.add_argument("--check_ps2d", action="store_true",
@@ -445,10 +447,15 @@ def run_e2e(args, variables, apply_fn):
         off = (0, 0, 0)
         for i, m in enumerate(modalities):
             p = str(case / f"{case.name}_{m}.{args.e2e_fmt}")
-            v = native.read_nifti(p)
-            if v is None:
-                v = nifti.load_volume(p)
-            v = np.asarray(v, np.float32)
+            if args.e2e_fmt == "npy":
+                # mmap: modalities 1-3 only fault the crop-window
+                # pages (the bbox plan comes from modality 0)
+                v = np.load(p, mmap_mode="r")
+            else:
+                v = native.read_nifti(p)
+                if v is None:
+                    v = nifti.load_volume(p)
+                v = np.asarray(v, np.float32)
             if crop is None:
                 box = cropping.nonzero_bbox(v)
                 off = cropping.crop_offsets(box, bucket, VOLUME_SHAPE)

@@ -41,6 +41,13 @@ def main():
                          "contains cases (skips the slow 1-CPU "
                          "synthetic-data regeneration on restarts)")
     ap.add_argument("--hausdorff_every", type=int, default=5)
+    ap.add_argument("--size_range", type=int, nargs=2, default=None,
+                    help="tumor-radius draw (lo, hi) for the generated "
+                         "cohort; the --long preset defaults to "
+                         "(14, 22) so the enhancing core (0.3*size) is "
+                         "above the dice learnability floor at the "
+                         "96^3 grid (r3: default 6-10 left ET at 27-81 "
+                         "voxels/case and dice 0.014)")
     ap.add_argument("--long", action="store_true",
                     help="quality-demonstration preset (VERDICT r3 "
                          "item 4): 32-case native-res cohort, flagship "
@@ -56,6 +63,8 @@ def main():
         args.ema = args.ema or 0.999
         if args.epochs == 120:
             args.epochs = 300
+        if args.size_range is None:
+            args.size_range = (14, 22)
 
     import dataclasses
     import jax.numpy as jnp
@@ -90,8 +99,10 @@ def main():
     if have and args.data_dir:
         print(f"reusing {have}-case cohort in {data_dir}")
     else:
-        create_enhanced_synthetic_data(args.samples, data_dir,
-                                       shape=(96, 96, 64), seed=7)
+        create_enhanced_synthetic_data(
+            args.samples, data_dir, shape=(96, 96, 64), seed=7,
+            size_range=(tuple(args.size_range)
+                        if args.size_range else None))
     train_loader, val_loader = create_brats_data_loaders(
         data_dir, batch_size=2, num_workers=2, image_size=size,
         aug_cfg=cfg.augment,

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth level 0 (ops/s2d.py) in the "
                          "train step")
+    ap.add_argument("--ps2d", action="store_true",
+                    help="packed-s2d Pallas level-0 convs under "
+                         "jax.custom_vjp in the train step "
+                         "(ops/pallas/ps2d.ps2d_conv3d_flat_train)")
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="microbatches per optimizer update (--batch "
                          "is the full effective batch)")
@@ -51,7 +55,8 @@ def main():
 
     cfg = Config(grad_accum=args.grad_accum, ema_decay=args.ema)
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16,
-                   remat=not args.no_remat, s2d_train=args.s2d)
+                   remat=not args.no_remat, s2d_train=args.s2d,
+                   ps2d_train=args.ps2d)
     size = tuple(args.size)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                (1, *size, 4), steps_per_epoch=100)

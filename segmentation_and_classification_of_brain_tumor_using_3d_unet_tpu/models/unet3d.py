@@ -104,9 +104,10 @@ class DoubleConv3D(nn.Module):
     ps2d: bool = False
 
     @nn.compact
-    def __call__(self, x, plan=None, gate=None, entry=False):
+    def __call__(self, x, plan=None, gate=None, entry=False,
+                 trainable=False):
         if self.ps2d:
-            return self._ps2d(x, plan, gate, entry)
+            return self._ps2d(x, plan, gate, entry, trainable)
         if gate is not None or entry:
             raise ValueError("gate folding / flat-region entry require "
                              "the ps2d path")
@@ -147,7 +148,7 @@ class DoubleConv3D(nn.Module):
             out = out + res
         return out
 
-    def _ps2d(self, x, plan, gate=None, entry=False):
+    def _ps2d(self, x, plan, gate=None, entry=False, trainable=False):
         """Flat-layout block: same parameter tree as the normal path
         (conv1 / gn1 / conv2 / gn2 / proj / gn_proj), convs via the
         packed-s2d Pallas kernel, GN with true-count statistics.
@@ -178,7 +179,7 @@ class DoubleConv3D(nn.Module):
             # checkpoint compatibility
             raise ValueError("ps2d DoubleConv needs 32-multiple widths")
         if entry:
-            return self._ps2d_entry(x, plan, gate)
+            return self._ps2d_entry(x, plan, gate, trainable)
         xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         cis = tuple(C4i // 4 for C4i in plan.C4s)
         in_ch = sum(cis)
@@ -186,6 +187,37 @@ class DoubleConv3D(nn.Module):
         common = dict(use_bias=False, kernel_init=KAIMING,
                       dtype=self.dtype, param_dtype=self.param_dtype,
                       ps2d=True)
+
+        if trainable:
+            # training path: custom_vjp conv kernels, plain XLA glue
+            # (the eval fusions' cotangents are not implemented). The
+            # gate is applied by the caller BEFORE this block.
+            if gate is not None:
+                raise ValueError("gate folding is eval-only; apply the "
+                                 "gate before a trainable ps2d block")
+            out = FastConv3D(mid, (3, 3, 3), name="conv1", **common)(
+                xfs, plan=plan, cis=cis, differentiable=True)
+            out = nn.relu(GroupNorm(8, ps2d=True, name="gn1")(out,
+                                                              plan))
+            plan_mid = make_ps2d_plan(plan.H2, plan.W2, mid,
+                                      self.out_channels)
+            out = FastConv3D(self.out_channels, (3, 3, 3),
+                             name="conv2", **common)(
+                out, plan=plan_mid, differentiable=True)
+            out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out,
+                                                              plan))
+            if in_ch == self.out_channels:
+                if self.use_residual:
+                    if len(xfs) != 1:
+                        raise ValueError("identity residual needs a "
+                                         "single ps2d input")
+                    out = out + xfs[0]
+            else:
+                res = Conv1x1(self.out_channels, name="proj",
+                              **common)(xfs, plan=plan, cis=cis)
+                res = GroupNorm(8, ps2d=True, name="gn_proj")(res, plan)
+                out = out + res
+            return out
 
         psi = se = mask0 = None
         if gate is not None:
@@ -233,14 +265,16 @@ class DoubleConv3D(nn.Module):
             out = out + res
         return out
 
-    def _ps2d_entry(self, xp, plan, gate=None):
+    def _ps2d_entry(self, xp, plan, gate=None, trainable=False):
         """See ``_ps2d(entry=True)``. ``xp``: packed s2d
         (B, D, H2, W2, 4*ci), ci < 32; returns flat (B, D, RT, N4)."""
-        from ..ops.pallas.ps2d import pack_flat
+        from ..ops.pallas.ps2d import pack_flat, pack_flat_fast
         if gate is not None:
             raise ValueError("entry blocks take no gate")
         if isinstance(xp, (tuple, list)):
             raise ValueError("entry blocks take a single packed input")
+        # the Pallas relayout has no VJP; training uses the XLA pad
+        pack = pack_flat if trainable else pack_flat_fast
         in_ch = xp.shape[-1] // 4
         mid = self.mid_channels or self.out_channels
         if (plan.ci, plan.co) != (mid, self.out_channels):
@@ -253,17 +287,26 @@ class DoubleConv3D(nn.Module):
         # 32-channel output packed flat ONCE for the rest of the region
         out1 = FastConv3D(mid, (3, 3, 3), s2d=True, name="conv1",
                           **common)(xp)
-        out1 = pack_flat(out1, plan)
-        # gn1 affine + ReLU ride conv2's on-load transform
-        sc1, sh1 = GroupNorm(8, ps2d=True, name="gn1")(
-            out1, plan, return_affine=True)
-        out, st2 = FastConv3D(self.out_channels, (3, 3, 3), name="conv2",
-                              ps2d=True, **common)(
-            out1, plan=plan, in_scale=sc1.astype(self.dtype),
-            in_shift=sh1.astype(self.dtype), in_relu=True,
-            emit_stats=True)
-        out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out, plan,
-                                                          sums=st2))
+        out1 = pack(out1, plan)
+        if trainable:
+            out1 = nn.relu(GroupNorm(8, ps2d=True, name="gn1")(out1,
+                                                               plan))
+            out = FastConv3D(self.out_channels, (3, 3, 3),
+                             name="conv2", ps2d=True, **common)(
+                out1, plan=plan, differentiable=True)
+            out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(out,
+                                                              plan))
+        else:
+            # gn1 affine + ReLU ride conv2's on-load transform
+            sc1, sh1 = GroupNorm(8, ps2d=True, name="gn1")(
+                out1, plan, return_affine=True)
+            out, st2 = FastConv3D(self.out_channels, (3, 3, 3),
+                                  name="conv2", ps2d=True, **common)(
+                out1, plan=plan, in_scale=sc1.astype(self.dtype),
+                in_shift=sh1.astype(self.dtype), in_relu=True,
+                emit_stats=True)
+            out = nn.relu(GroupNorm(8, ps2d=True, name="gn2")(
+                out, plan, sums=st2))
 
         if in_ch == self.out_channels:
             if self.use_residual:
@@ -276,7 +319,7 @@ class DoubleConv3D(nn.Module):
                           **common)(xp)
             res = GroupNorm(8, s2d=True, name="gn_proj")(res)
             # pack_flat reads only C4 (lane pad target) and P
-            out = out + pack_flat(res, plan._replace(C4=plan.N4))
+            out = out + pack(res, plan._replace(C4=plan.N4))
         return out
 
 
@@ -463,6 +506,15 @@ class UNet3D(nn.Module):
     # precedence over s2d_eval at level 0. Falls back silently when no
     # kernel plan exists for the shape.
     ps2d_eval: bool = False
+    # Same for train=True forwards: the level-0 DC convs run the ps2d
+    # kernels under jax.custom_vjp (data grad = flipped-weight kernel,
+    # weight grad = XLA s2d weight-grad conv on unpacked tensors —
+    # ops/pallas/ps2d.ps2d_conv3d_flat_train); glue, gate, up and
+    # deep-sup stay differentiable XLA ops (no eval-only fusions).
+    # Parameters identical to every other path. Level-0 blocks are not
+    # remat-wrapped under this flag (static plan args); the flat
+    # region's working set replaces the normal-layout one.
+    ps2d_train: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -512,7 +564,8 @@ class UNet3D(nn.Module):
         # enc_plan drives enc0's conv2 and the flat-resident level-0
         # skip; ps2d_plan the decoder stage's concat conv.
         ps2d_plan = enc_plan = None
-        if (self.ps2d_eval and not train and self.fast
+        if ((self.ps2d_train if train else self.ps2d_eval)
+                and self.fast
                 and self.quant_mode == "off"
                 and feats[0] % 32 == 0  # DC width gate (GN param shapes)
                 and all(s % 2 == 0 for s in full_res)):
@@ -539,20 +592,28 @@ class UNet3D(nn.Module):
                 # the ps2d kernel) runs flat-resident, and the level-0
                 # skip STAYS flat until the decoder stage consumes it
                 # (no decoder-side re-pack)
-                from ..ops.pallas.ps2d import max_pool3d_from_flat
+                from ..ops.pallas.ps2d import (flat_to_normal,
+                                               max_pool3d_from_flat)
                 x = DoubleConv3D(
                     f, dtype=self.dtype, param_dtype=self.param_dtype,
                     fast=self.fast, ps2d=True, name=f"down{i}")(
-                    space_to_depth_hw(x), plan=enc_plan, entry=True)
+                    space_to_depth_hw(x), plan=enc_plan, entry=True,
+                    trainable=train)
                 skips.append(x)
-                # dead at eval (ps2d is eval-only; returned only when
-                # train) but traced so an eval-mode init creates the
-                # same parameter tree
-                deep.append(Conv1x1(
+                # dead at eval (returned only when train) but traced
+                # so an eval-mode init creates the same parameter tree
+                d = Conv1x1(
                     self.out_channels, kernel_init=KAIMING,
                     dtype=self.dtype, ps2d=True,
                     param_dtype=self.param_dtype, name=f"deep{i}")(
-                    x, plan=enc_plan))
+                    x, plan=enc_plan)
+                if train:
+                    # losses consume normal layout
+                    d = flat_to_normal(
+                        d, enc_plan._replace(co=self.out_channels))
+                    if self.deep_sup_full_res:
+                        d = resize_trilinear(d, full_res)
+                deep.append(d)
                 x = max_pool3d_from_flat(x, enc_plan)
                 x = nn.Dropout(self.dropout_rate,
                                broadcast_dims=(1, 2, 3),
@@ -587,51 +648,72 @@ class UNet3D(nn.Module):
             lvl_s2d = use_s2d and last
             lvl_ps2d = ps2d_plan is not None and last
             skip = skips[-(i + 1)]
+            up_plan = None
+            if lvl_ps2d:
+                # flat-resident stage: the skip arrives ALREADY flat
+                # from enc0 (no re-pack), the up conv EMITS the flat
+                # form directly (fused s2d-out + pack, ops/pallas/
+                # ps2d.up_k2s2_into_flat), then the gate, both DC
+                # convs, GN glue and the residual run on flat tensors;
+                # the concat folds into the conv kernel's K dim
+                from ..ops.pallas.ps2d import flat_to_normal, input_plan
+                # pre-up x is level-1: (B, D/2, H2, W2, ·)
+                if x.shape[2:4] != (ps2d_plan.H2, ps2d_plan.W2) or \
+                        skip.shape != (x.shape[0], 2 * x.shape[1],
+                                       ps2d_plan.RT,
+                                       ps2d_plan.C4s[0]):
+                    raise ValueError(
+                        "ps2d level 0: decoder/skip shape mismatch; "
+                        "pad input dims to a multiple of 2**levels")
+                up_plan = input_plan(ps2d_plan, 1)
             if self.fast:
+                # at train the fused up-into-flat kernel has no VJP:
+                # emit s2d and pack with the (differentiable) XLA pad
                 x = FastConvTranspose3D(
                     f, kernel_init=KAIMING, dtype=self.dtype,
                     param_dtype=self.param_dtype,
-                    s2d_out=lvl_s2d or lvl_ps2d,
-                    name=f"up{i}")(x)
+                    s2d_out=lvl_s2d or (lvl_ps2d and train),
+                    name=f"up{i}")(
+                    x, flat_plan=None if train else up_plan)
             else:
                 x = nn.ConvTranspose(
                     f, (2, 2, 2), strides=(2, 2, 2), kernel_init=KAIMING,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"up{i}")(x)
             if lvl_ps2d:
-                # flat-resident stage: the skip arrives ALREADY flat
-                # from enc0 (no re-pack), the up output is packed once,
-                # then the gate, both DC convs, GN glue and the
-                # residual run on flat tensors; the concat folds into
-                # the conv kernel's K dim (models/../ops/pallas/ps2d.py)
-                from ..ops.pallas.ps2d import (flat_to_normal,
-                                               input_plan, pack_flat)
-                if x.shape[2:4] != (ps2d_plan.H2, ps2d_plan.W2) or \
-                        skip.shape != (x.shape[0], x.shape[1],
-                                       ps2d_plan.RT,
-                                       ps2d_plan.C4s[0]):
-                    raise ValueError(
-                        "ps2d level 0: decoder/skip shape mismatch; "
-                        "pad input dims to a multiple of 2**levels")
-                up_f = pack_flat(x, input_plan(ps2d_plan, 1))
+                if train:
+                    from ..ops.pallas.ps2d import pack_flat
+                    up_f = pack_flat(x, up_plan)
+                else:
+                    up_f = x
                 skip_f = skip
-                # factored gate: psi/se are applied INSIDE the DC's
-                # conv kernels (on-load transform / weight fold) — the
-                # gated skip never materializes in HBM
-                psi, se = AttentionGate3D(
+                gate_mod = AttentionGate3D(
                     f_int=max(f // 2, 1), dtype=self.dtype,
                     param_dtype=self.param_dtype, fast=self.fast,
-                    ps2d=True, name=f"att{i}")(
-                    g=up_f, x=skip_f, plan=input_plan(ps2d_plan, 0),
-                    fold=True)
+                    ps2d=True, name=f"att{i}")
                 # plain DoubleConv3D, NOT the remat-wrapped `dc`: remat
-                # would trace the static plan ints as dynamic args, and
-                # rematerialization is pointless at eval anyway (ps2d
-                # is eval-only). Same module name -> same param tree.
-                x = DoubleConv3D(
+                # would trace the static plan ints as dynamic args.
+                # Same module name -> same param tree.
+                dec_mod = DoubleConv3D(
                     f, dtype=self.dtype, param_dtype=self.param_dtype,
-                    fast=self.fast, ps2d=True, name=f"dec{i}")(
-                    (skip_f, up_f), plan=ps2d_plan, gate=(psi, se))
+                    fast=self.fast, ps2d=True, name=f"dec{i}")
+                if train:
+                    # differentiable path: the gate applies its mask
+                    # as flat XLA ops; the DC convs run the custom_vjp
+                    # kernels
+                    skip_g = gate_mod(g=up_f, x=skip_f,
+                                      plan=input_plan(ps2d_plan, 0))
+                    x = dec_mod((skip_g, up_f), plan=ps2d_plan,
+                                trainable=True)
+                else:
+                    # factored gate: psi/se are applied INSIDE the
+                    # DC's conv kernels (on-load transform / weight
+                    # fold) — the gated skip never materializes in HBM
+                    psi, se = gate_mod(
+                        g=up_f, x=skip_f,
+                        plan=input_plan(ps2d_plan, 0), fold=True)
+                    x = dec_mod((skip_f, up_f), plan=ps2d_plan,
+                                gate=(psi, se))
                 x = flat_to_normal(x, ps2d_plan)
                 continue
             x_att = AttentionGate3D(

@@ -412,7 +412,7 @@ class FastConv3D(nn.Module):
     @nn.compact
     def __call__(self, x, plan=None, cis=None, in_scale=None,
                  in_shift=None, in_relu=False, in_mul0=None,
-                 emit_stats=False):
+                 emit_stats=False, differentiable=False):
         k = tuple(self.kernel_size)
         if self.ps2d:
             if (k != (3, 3, 3) or self.use_bias
@@ -420,13 +420,24 @@ class FastConv3D(nn.Module):
                 raise ValueError(
                     "ps2d supports bias-free 3x3x3 bf16 convs only")
             from .pallas.ps2d import (_interpret_default,
-                                      ps2d_conv3d_flat_multi)
+                                      ps2d_conv3d_flat_multi,
+                                      ps2d_conv3d_flat_train)
             xfs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
             if cis is None:
                 cis = tuple(xf.shape[-1] // 4 for xf in xfs)
             kernel = self.param("kernel", self.kernel_init,
                                 (*k, sum(cis), self.features),
                                 self.param_dtype)
+            if differentiable:
+                # training path: custom_vjp kernels, no fused
+                # transforms (their cotangents are not implemented)
+                if (in_scale is not None or in_shift is not None
+                        or in_relu or in_mul0 is not None
+                        or emit_stats):
+                    raise ValueError("fused transforms are eval-only")
+                return ps2d_conv3d_flat_train(
+                    tuple(xf.astype(self.dtype) for xf in xfs),
+                    kernel.astype(self.dtype), plan, tuple(cis))
             return ps2d_conv3d_flat_multi(
                 [xf.astype(self.dtype) for xf in xfs],
                 kernel.astype(self.dtype), plan, cis=cis,
@@ -497,7 +508,7 @@ class FastConvTranspose3D(nn.Module):
     s2d_out: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, flat_plan=None):
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (2, 2, 2, cin, self.features),
@@ -505,6 +516,13 @@ class FastConvTranspose3D(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), self.param_dtype)
                 if self.use_bias else None)
+        if flat_plan is not None:
+            # emit the FLAT PADDED ps2d layout directly (fused
+            # s2d-out + pack_flat — ops/pallas/ps2d.py)
+            from .pallas.ps2d import up_k2s2_into_flat
+            return up_k2s2_into_flat(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                flat_plan)
         if self.s2d_out:
             from .s2d import conv_transpose3d_k2s2_s2d_out
             return conv_transpose3d_k2s2_s2d_out(

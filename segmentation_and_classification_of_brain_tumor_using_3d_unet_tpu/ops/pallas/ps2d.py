@@ -143,6 +143,133 @@ def pack_flat(xp: jax.Array, plan: PS2DPlan) -> jax.Array:
     return x.reshape(B, D, (H2 + 3) * P, plan.C4)
 
 
+def _pack_flat_kernel(x_ref, o_ref, *, Db: int, H2: int, W2: int):
+    # x_ref (1, Db, H2, W2, C4) -> o_ref (1, Db, H2+3, P, C4): data at
+    # [1:H2+1, 1:W2+1), zeros elsewhere (halo + pitch padding). The
+    # column offset 1 is an unaligned sublane store (a VPU relayout,
+    # like the conv kernel's kw2 shift) — DMA cannot land it directly.
+    o_ref[...] = jnp.zeros_like(o_ref)
+    for i in range(Db):
+        o_ref[0, i, 1:H2 + 1, 1:W2 + 1, :] = x_ref[0, i]
+
+
+def pack_flat_fast(xp: jax.Array, plan: PS2DPlan,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """``pack_flat`` as a Pallas relayout kernel.
+
+    The XLA form (one fused jnp.pad) still materializes the padded
+    tensor through XLA's layout machinery (~5.4 ms standalone for the
+    32ch level-0 shape vs ~0.8 ms of pure HBM traffic —
+    benchmarks/RESULTS.md round 3 "integration tax"). This kernel
+    streams (Db, H2, W2, C4) slabs through VMEM with automatic
+    double-buffering and writes the flat padded form directly. Falls
+    back to the XLA form when the shape is ineligible (channel-padded
+    inputs, odd W2)."""
+    B, D, H2, W2, C4 = xp.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    if (C4 != plan.C4 or (H2, W2) != (plan.H2, plan.W2)
+            or W2 % 8 or C4 % 128):
+        return pack_flat(xp, plan)
+    unit = (H2 * W2 + (H2 + 3) * plan.P) * C4 * xp.dtype.itemsize
+    Db = 1
+    for cand in (8, 5, 4, 3, 2):
+        if D % cand == 0 and 2 * cand * unit <= 18 * 2 ** 20:
+            Db = cand
+            break
+    kern = functools.partial(_pack_flat_kernel, Db=Db, H2=H2, W2=W2)
+    yf = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, D, H2 + 3, plan.P, C4),
+                                       xp.dtype),
+        grid=(B, D // Db),
+        in_specs=[pl.BlockSpec((1, Db, H2, W2, C4),
+                               lambda b, d: (b, d, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, Db, H2 + 3, plan.P, C4),
+                               lambda b, d: (b, d, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2 ** 20),
+        interpret=interpret,
+    )(xp)
+    # merging (H2+3, P) -> RT is layout-free (adjacent dims)
+    return yf.reshape(B, D, plan.RT, C4)
+
+
+def _up_flat_kernel(x_ref, w_ref, b_ref, o_ref, *, H2: int, W2: int):
+    # x_ref (1, 1, H2, W2, ci); w_ref (2, ci, C4); b_ref (1, C4);
+    # o_ref (1, 1, 2, H2+3, P, C4). One input depth slice produces the
+    # two output depth phases (k2s2 transpose conv is a per-phase 1x1
+    # matmul); each lands directly in the flat padded layout.
+    o_ref[...] = jnp.zeros_like(o_ref)
+    ci = x_ref.shape[-1]
+    C4 = o_ref.shape[-1]
+    xs = x_ref[0, 0].reshape(H2 * W2, ci)
+    for a in range(2):
+        y = jnp.dot(xs, w_ref[a], preferred_element_type=jnp.float32)
+        y = y + b_ref[0:1, :]
+        o_ref[0, 0, a, 1:H2 + 1, 1:W2 + 1, :] = (
+            y.astype(o_ref.dtype).reshape(H2, W2, C4))
+
+
+def up_k2s2_into_flat(x: jax.Array, w: jax.Array,
+                      bias: Optional[jax.Array], plan: PS2DPlan,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """ConvTranspose(k=2^3, s=2^3) emitting the FLAT PADDED layout
+    directly — fuses ``conv_transpose3d_k2s2_s2d_out`` + ``pack_flat``
+    into one kernel (the XLA pair costs an interleave transpose plus a
+    materialized pad; the matmul here is tiny next to that traffic).
+
+    x: (B, D2, H2, W2, Cin) normal layout; w: (2,2,2,Cin,Cout) flax
+    ConvTranspose convention; returns (B, 2*D2, RT, 4*Cout) bf16 with
+    the flat-layout zero-pad invariant. Semantics ==
+    ``pack_flat(conv_transpose3d_k2s2_s2d_out(x, w, bias), plan)``
+    (falls back to exactly that when the shape is ineligible)."""
+    B, D2, H2, W2, ci = x.shape
+    co = w.shape[-1]
+    C4 = 4 * co
+    if interpret is None:
+        interpret = _interpret_default()
+    if (C4 != plan.C4 or (H2, W2) != (plan.H2, plan.W2)
+            or W2 % 8 or C4 % 128 or ci % 8):
+        from ..s2d import conv_transpose3d_k2s2_s2d_out
+        return pack_flat(conv_transpose3d_k2s2_s2d_out(x, w, bias),
+                         plan)
+    wf = w[::-1, ::-1, ::-1]            # flax/lax flip convention
+    # wk[a]: (ci, 4co) with (ph, pw, co) p-major lanes — the s2d lane
+    # order pack_flat preserves (see conv_transpose3d_k2s2_s2d_out)
+    wk = (wf.reshape(2, 4, ci, co).transpose(0, 2, 1, 3)
+          .reshape(2, ci, C4).astype(x.dtype))
+    b = (jnp.tile(bias, 4) if bias is not None
+         else jnp.zeros((C4,), jnp.float32))
+    b = b.reshape(1, C4).astype(jnp.float32)
+    kern = functools.partial(_up_flat_kernel, H2=H2, W2=W2)
+    yf = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, D2, 2, H2 + 3, plan.P, C4), x.dtype),
+        grid=(B, D2),
+        in_specs=[
+            pl.BlockSpec((1, 1, H2, W2, ci),
+                         lambda bb, d: (bb, d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ci, C4), lambda bb, d: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C4), lambda bb, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, H2 + 3, plan.P, C4),
+                               lambda bb, d: (bb, d, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2 ** 20),
+        interpret=interpret,
+    )(x, wk, b)
+    # (D2, 2) -> D and (H2+3, P) -> RT merges are layout-free
+    return yf.reshape(B, 2 * D2, plan.RT, C4)
+
+
 def unpack_flat(yf: jax.Array, plan: PS2DPlan) -> jax.Array:
     """Flat padded (B, D, RT, N4) -> packed (B, D, H2, W2, 4co)."""
     B, D, _, N4 = yf.shape
@@ -587,6 +714,79 @@ def ps2d_conv3d(xp: jax.Array, w: jax.Array,
     xf = pack_flat(xp.astype(jnp.bfloat16), plan)
     yf = ps2d_conv3d_flat(xf, w, plan, interpret=interpret)
     return unpack_flat(yf, plan)
+
+
+# ----------------------------------------------------------------------
+# Training backward (VERDICT r3 item 5): the flat conv under
+# jax.custom_vjp so the ps2d formulation can serve train-mode forwards.
+#
+#   * data grad: the SAME kernel with flipped-transposed weights
+#     (transpose of a SAME odd conv is a SAME conv with
+#     w[::-1,::-1,::-1] and ci<->co swapped; the flat layout carries
+#     it unchanged because the halo rows make SAME boundary behavior
+#     exact). Upstream cotangents may carry garbage in the pad
+#     rows/columns (not every consumer masks), so the grad kernel
+#     re-zeroes pads in its on-load transform (identity affine + the
+#     in_valid select — rides VMEM traffic the kernel already pays).
+#   * weight grad: XLA's own conv weight-grad on the UNPACKED packed-
+#     s2d tensors via jax.linear_transpose of conv3d_s2d — the same
+#     cost class as the zcat training step already pays for its weight
+#     grads; the kernels win on forward + data grad and tie here.
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ps2d_conv3d_flat_train(xfs, w: jax.Array, plan: PS2DPlan,
+                           cis: tuple) -> jax.Array:
+    """Differentiable flat conv (tuple of flat inputs, concat in K).
+
+    Semantics == ``ps2d_conv3d_flat_multi(xfs, w, plan, cis=cis)``;
+    gradients flow to every input and to ``w``."""
+    return ps2d_conv3d_flat_multi(tuple(xfs), w, plan, cis=cis,
+                                  interpret=_interpret_default())
+
+
+def _train_fwd(xfs, w, plan, cis):
+    y = ps2d_conv3d_flat_multi(tuple(xfs), w, plan, cis=cis,
+                               interpret=_interpret_default())
+    return y, (tuple(xfs), w)
+
+
+def _train_bwd(plan, cis, res, dy):
+    from ..s2d import concat_s2d, conv3d_s2d
+    xfs, w = res
+    B = dy.shape[0]
+    co = w.shape[-1]
+    interpret = _interpret_default()
+    # ---- data grads: flipped-weight kernel per input -----------------
+    ones = jnp.ones((B, 4 * _align32(co)), dy.dtype)
+    zeros = jnp.zeros_like(ones)
+    dxs, coff = [], 0
+    for ci_i, C4i in zip(cis, plan.C4s):
+        wi = w[:, :, :, coff:coff + ci_i, :]
+        coff += ci_i
+        wT = wi[::-1, ::-1, ::-1].swapaxes(3, 4)     # (3,3,3,co,ci_i)
+        plan_i = make_ps2d_plan(plan.H2, plan.W2, co, ci_i)
+        if plan_i is None or plan_i.N4 != C4i:
+            raise ValueError(
+                f"no grad-kernel plan for {co}->{ci_i} at "
+                f"({plan.H2},{plan.W2})")
+        dxs.append(ps2d_conv3d_flat_multi(
+            (dy,), wT, plan_i, cis=(co,), in_scale=ones,
+            in_shift=zeros, interpret=interpret))
+    # ---- weight grad: XLA conv weight-grad on unpacked tensors ------
+    xps = [unpack_flat(xf, plan._replace(co=ci_i))
+           for xf, ci_i in zip(xfs, cis)]
+    xp = xps[0]
+    for nxt in xps[1:]:
+        xp = concat_s2d(xp, nxt)
+    dyp = unpack_flat(dy, plan)
+    dw = jax.linear_transpose(
+        lambda ww: conv3d_s2d(xp, ww), w)(dyp)[0]
+    return tuple(dxs), dw.astype(w.dtype)
+
+
+ps2d_conv3d_flat_train.defvjp(_train_fwd, _train_bwd)
 
 
 # ----------------------------------------------------------------------

@@ -199,7 +199,11 @@ def test_unet_ps2d_eval_matches_normal():
     parameters (checkpoint-portable), CPU interpret mode."""
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
         UNet3D)
-    x = jnp.asarray(RNG.normal(size=(1, 4, 16, 24, 4)), jnp.float32)
+    # own rng: the shared module RNG makes this fixture depend on test
+    # ORDER (adding an earlier test shifts every later draw and the
+    # drift bounds below are fixture-calibrated)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 24, 4)), jnp.float32)
     base = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.bfloat16)
     variables = base.init(jax.random.PRNGKey(0), x, train=False)
     ref = base.apply(variables, x, train=False)["logits"]
@@ -223,6 +227,58 @@ def test_unet_ps2d_eval_matches_normal():
     lab_f = np.asarray(out).argmax(-1)
     lab_r = np.asarray(ref).argmax(-1)
     assert (lab_f == lab_r).mean() >= 0.99, (lab_f != lab_r).mean()
+
+
+def test_pack_flat_fast_matches_xla_pack():
+    """The Pallas relayout kernel == the XLA jnp.pad pack, bit-exact
+    (pure data movement), including the D-chunked grid path and the
+    ineligible-shape fallback."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        pack_flat_fast)
+    for (B, D, H, W, ci) in [(1, 4, 8, 16, 32),   # eligible, Db > 1
+                             (2, 3, 8, 16, 32),   # eligible, Db = 1
+                             (1, 2, 8, 12, 32),   # W2 = 6 -> fallback
+                             (1, 2, 8, 16, 4)]:   # channel-padded -> fb
+        x = jnp.asarray(RNG.normal(size=(B, D, H, W, ci)), jnp.bfloat16)
+        xp = space_to_depth_hw(x)
+        plan = make_ps2d_plan(H // 2, W // 2, ci, 32)
+        a = np.asarray(pack_flat_fast(xp, plan, interpret=True),
+                       np.float32)
+        b = np.asarray(pack_flat(xp, plan), np.float32)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_up_into_flat_matches_xla_pair():
+    """Fused k2s2-transpose-conv-into-flat kernel ==
+    pack_flat(conv_transpose3d_k2s2_s2d_out(...)) with the same
+    weights (the kernel accumulates the dot + bias in f32 before one
+    bf16 cast, so drift is bounded at the usual 1-2 bf16 ulp)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        up_k2s2_into_flat)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.s2d import (
+        conv_transpose3d_k2s2_s2d_out)
+    for (B, D2, H2, W2, ci, co, with_bias) in [
+            (1, 3, 4, 8, 64, 32, True),
+            (2, 2, 4, 8, 16, 32, False),
+            (1, 2, 4, 6, 64, 32, True)]:     # W2 % 8 != 0 -> fallback
+        x = jnp.asarray(RNG.normal(size=(B, D2, H2, W2, ci)),
+                        jnp.bfloat16)
+        w = jnp.asarray(RNG.normal(size=(2, 2, 2, ci, co)) * 0.1,
+                        jnp.bfloat16)
+        bias = (jnp.asarray(RNG.normal(size=(co,)) * 0.1, jnp.float32)
+                if with_bias else None)
+        plan = make_ps2d_plan(H2, W2, co, co)
+        got = up_k2s2_into_flat(x, w, bias, plan, interpret=True)
+        ref = pack_flat(conv_transpose3d_k2s2_s2d_out(x, w, bias), plan)
+        g = np.asarray(got, np.float32)
+        r = np.asarray(ref, np.float32)
+        d = np.abs(g - r)
+        assert d.max() <= 2 ** -6 * max(np.abs(r).max(), 1.0), d.max()
+        # flat invariant: pads exact zero
+        from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+            row_valid_mask)
+        m = np.asarray(row_valid_mask(plan, jnp.float32))[None, None]
+        assert np.abs(g * (1 - m)).max() == 0
 
 
 def test_kernel_emitted_stats_match_xla_sums():
@@ -259,6 +315,208 @@ def test_kernel_emitted_stats_match_xla_sums():
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def _grad_close(a, b, name, rel=2 ** -5):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    scale = max(np.abs(b).max(), 1e-3)
+    assert np.abs(a - b).max() <= rel * scale, (
+        name, np.abs(a - b).max(), scale)
+
+
+def test_train_vjp_matches_xla_grads():
+    """jax.grad through ps2d_conv3d_flat_train == jax.grad through the
+    XLA s2d conv (same loss), for input and weight cotangents.
+    bf16 compute on both sides; summation-order drift only."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        ps2d_conv3d_flat_train)
+    B, D, H, W, ci, co = 1, 3, 8, 12, 32, 32
+    x = jnp.asarray(RNG.normal(size=(B, D, H, W, ci)), jnp.float32)
+    w = jnp.asarray(RNG.normal(size=(3, 3, 3, ci, co)) * 0.1,
+                    jnp.float32)
+    r = jnp.asarray(RNG.normal(size=(B, D, H // 2, W // 2, 4 * co)),
+                    jnp.float32)
+    plan = make_ps2d_plan(H // 2, W // 2, ci, co)
+
+    def loss_kernel(x, w):
+        xf = pack_flat(space_to_depth_hw(x.astype(jnp.bfloat16)), plan)
+        yf = ps2d_conv3d_flat_train((xf,), w.astype(jnp.bfloat16),
+                                    plan, (ci,))
+        return jnp.sum(unpack_flat(yf, plan).astype(jnp.float32) * r)
+
+    def loss_ref(x, w):
+        y = conv3d_s2d(space_to_depth_hw(x.astype(jnp.bfloat16)),
+                       w.astype(jnp.bfloat16))
+        return jnp.sum(y.astype(jnp.float32) * r)
+
+    gx_k, gw_k = jax.grad(loss_kernel, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    _grad_close(gx_k, gx_r, "dx")
+    _grad_close(gw_k, gw_r, "dw")
+
+
+def test_train_vjp_multi_input_and_pad_garbage():
+    """Multi-input (concat-in-K) gradients match; cotangent garbage in
+    the flat PAD positions must not leak into dx/dw (the grad kernel
+    re-zeroes pads on load, the weight grad unpacks)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        input_plan, make_ps2d_plan_multi, ps2d_conv3d_flat_train,
+        row_valid_mask)
+    B, D, H, W, ca, cu, co = 1, 2, 8, 12, 32, 32, 32
+    a = jnp.asarray(RNG.normal(size=(B, D, H, W, ca)), jnp.float32)
+    u = jnp.asarray(RNG.normal(size=(B, D, H, W, cu)), jnp.float32)
+    w = jnp.asarray(RNG.normal(size=(3, 3, 3, ca + cu, co)) * 0.1,
+                    jnp.float32)
+    plan = make_ps2d_plan_multi(H // 2, W // 2, (ca, cu), co)
+    r = jnp.asarray(RNG.normal(size=(B, D, plan.RT, plan.N4)),
+                    jnp.float32)
+    # cotangent garbage at pads: loss reads the RAW flat output with a
+    # weight tensor that is NONZERO at pad positions
+    mask = row_valid_mask(plan, jnp.float32)
+    r_garbage = r * (1 - mask) * 100 + r * mask
+
+    def loss_kernel(a, u, w, rr):
+        af = pack_flat(space_to_depth_hw(a.astype(jnp.bfloat16)),
+                       input_plan(plan, 0))
+        uf = pack_flat(space_to_depth_hw(u.astype(jnp.bfloat16)),
+                       input_plan(plan, 1))
+        yf = ps2d_conv3d_flat_train((af, uf), w.astype(jnp.bfloat16),
+                                    plan, (ca, cu))
+        return jnp.sum(yf.astype(jnp.float32) * rr)
+
+    def loss_ref(a, u, w):
+        xp = space_to_depth_hw(
+            jnp.concatenate([a, u], axis=-1).astype(jnp.bfloat16))
+        y = conv3d_s2d(xp, w.astype(jnp.bfloat16))
+        # project through the same valid-region read
+        yf = pack_flat(y, plan._replace(C4=plan.N4))
+        return jnp.sum(yf.astype(jnp.float32) * r)
+
+    ga_k, gu_k, gw_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(
+        a, u, w, r)
+    ga_r, gu_r, gw_r = jax.grad(loss_ref, argnums=(0, 1, 2))(a, u, w)
+    _grad_close(ga_k, ga_r, "da")
+    _grad_close(gu_k, gu_r, "du")
+    _grad_close(gw_k, gw_r, "dw")
+    # pad garbage in the cotangent changes NOTHING (pad outputs are
+    # structural zeros; their cotangents must be dropped)
+    ga_g, gu_g, gw_g = jax.grad(loss_kernel, argnums=(0, 1, 2))(
+        a, u, w, r_garbage)
+    _grad_close(ga_g, ga_k, "da(garbage)", rel=2 ** -10)
+    _grad_close(gu_g, gu_k, "du(garbage)", rel=2 ** -10)
+    _grad_close(gw_g, gw_k, "dw(garbage)", rel=2 ** -10)
+
+
+@pytest.mark.slow
+def test_unet_ps2d_train_forward_and_grad_direction():
+    """UNet3D(ps2d_train=True) train-mode contract vs the normal path
+    with the SAME parameters and dropout rng.
+
+    The forward is checked TIGHTLY in f32 against a reference whose
+    level-0 kernels carry the same by-construction bf16 rounding as
+    pack_w_rot (enc0 conv2, dec0 conv1/conv2) — rel drift ~3e-6.
+    Parameter gradients are checked DIRECTIONALLY (cosine): the
+    backward's own in-kernel bf16 weight rounding is the same
+    precision class bf16 training pays everywhere, but at random init
+    a ~0.4% data-grad perturbation amplifies to tens of percent on
+    cancellation-prone elements (measured: the base model's grads move
+    just as much under bf16-rounding its level-0 kernels alone).
+    Elementwise exactness of the conv VJPs is pinned by
+    test_train_vjp_* against bf16 XLA autodiff."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+    rng = np.random.default_rng(11)      # order-independent fixture
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 24, 4)), jnp.float32)
+    base = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.float32)
+    fast = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.float32,
+                  ps2d_train=True)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    rk = jax.random.PRNGKey(3)
+    r = jnp.asarray(rng.normal(size=(1, 4, 16, 24, 4)), jnp.float32)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"dropout": rk},
+            mutable=["batch_stats"])
+        l = jnp.sum(out["logits"].astype(jnp.float32) * r)
+        for d in out["deep"]:
+            l = l + jnp.sum(jnp.square(d.astype(jnp.float32)))
+        return l
+
+    # reference params with pack_w_rot's bf16 kernel rounding applied
+    p2 = jax.tree_util.tree_map(lambda v: v, variables["params"])
+    for blk, convs in (("down0", ("conv2",)),
+                       ("dec0", ("conv1", "conv2"))):
+        for c in convs:
+            k = p2[blk][c]["kernel"]
+            p2[blk][c]["kernel"] = k.astype(jnp.bfloat16).astype(
+                jnp.float32)
+
+    lb, gb = jax.value_and_grad(lambda p: loss(base, p))(p2)
+    lf, gf = jax.value_and_grad(lambda p: loss(fast, p))(
+        variables["params"])
+    assert np.isfinite(float(lb)) and np.isfinite(float(lf))
+    assert abs(float(lb) - float(lf)) <= 1e-4 * abs(float(lb)), (
+        float(lb), float(lf))
+    flat_b = jax.tree_util.tree_leaves_with_path(gb)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gf)}
+    for k, vb in flat_b:
+        ks = jax.tree_util.keystr(k)
+        a = np.asarray(vb, np.float32).ravel()
+        b = np.asarray(flat_f[ks], np.float32).ravel()
+        assert np.all(np.isfinite(b)), ks
+        if a.size < 8:           # cosine is meaningless for scalars
+            continue
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-6 or nb < 1e-6:
+            continue
+        c = float(a @ b / (na * nb))
+        assert c >= 0.9, (ks, c)
+        assert 0.5 <= nb / na <= 2.0, (ks, nb / na)
+
+
+@pytest.mark.slow
+def test_unet_ps2d_train_descends():
+    """Five real optimizer steps with ps2d_train=True: the combined
+    loss must descend comparably to the normal path from the same
+    init (guards sign/scale bugs end-to-end through the train loop)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.config import (
+        Config)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        create_train_state, make_train_step)
+    rng = np.random.default_rng(5)
+    size = (16, 16, 32)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(1, *size, 4)),
+                             jnp.float32),
+        "mask": jnp.asarray(
+            (rng.random(size=(1, *size)) < 0.2).astype(np.int32) * 2),
+    }
+    cfg = Config()
+    losses = {}
+    for name, flag in (("base", False), ("ps2d", True)):
+        model = UNet3D(out_channels=4, features=(32, 64),
+                       dtype=jnp.bfloat16, remat=False,
+                       ps2d_train=flag)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   (1, *size, 4), steps_per_epoch=10)
+        step = make_train_step(cfg, donate=False)
+        ls = []
+        key = jax.random.PRNGKey(1)
+        for i in range(5):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+            ls.append(float(m["loss"]))
+        losses[name] = ls
+    for name, ls in losses.items():
+        assert ls[-1] < ls[0], (name, ls)
+    # same init, same data: trajectories agree to bf16 training noise
+    assert abs(losses["ps2d"][-1] - losses["base"][-1]) <= 0.15 * max(
+        abs(losses["base"][-1]), 0.1), losses
 
 
 def test_packed_convenience_wrapper():
