@@ -157,6 +157,10 @@ def main():
                     help="packed-s2d Pallas kernels for the decoder-"
                          "last stage (ops/pallas/ps2d.py)")
     ap.add_argument("--no_ps2d", dest="ps2d", action="store_false")
+    ap.add_argument("--ps2d_levels", type=int, default=1,
+                    help="with --ps2d: how many resolution levels run "
+                         "flat-resident (2 extends the region to enc1/"
+                         "dec1 — models/unet3d.py ps2d_levels)")
     ap.add_argument("--per_call", action="store_true",
                     help="old per-volume host-sync timing (pays ~26 ms "
                          "tunnel RTT per volume)")
@@ -201,7 +205,8 @@ def main():
     use_s2d = False if args.s2d is None else args.s2d
     use_ps2d = False if args.ps2d is None else args.ps2d
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False,
-                   s2d_eval=use_s2d, ps2d_eval=use_ps2d)
+                   s2d_eval=use_s2d, ps2d_eval=use_ps2d,
+                   ps2d_levels=args.ps2d_levels)
     x_init = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), x_init, train=False)

@@ -515,6 +515,16 @@ class UNet3D(nn.Module):
     # remat-wrapped under this flag (static plan args); the flat
     # region's working set replaces the normal-layout one.
     ps2d_train: bool = False
+    # How many resolution levels (from 0) run flat-resident when the
+    # ps2d path is active. 2 extends the treatment to level 1 (the
+    # next-largest spatial extent after the level-0 extremities —
+    # VERDICT r3 item 2): enc1's DoubleConv, the level-1 skip, up3 and
+    # the dec1 stage (gate folded, concat in K) all stay in the level-1
+    # flat layout; the region enters from the pooled enc0 output and
+    # exits before up4. Eval-only (ps2d_train stays level-0); falls
+    # back per-level when no plan exists for the shape. Parameters
+    # identical to every other path.
+    ps2d_levels: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> Dict[str, Any]:
@@ -580,6 +590,28 @@ class UNet3D(nn.Module):
                 ps2d_plan = enc_plan = None
         if ps2d_plan is not None:
             use_s2d = False
+        # level-1 flat region (eval-only): needs level-1 dims even AND
+        # level-2 dims exact (H, W % 8, D % 4) so pool/up round-trip
+        # without resize reconciliation, plus a 32-multiple width
+        l1_plans = None
+        if (ps2d_plan is not None and self.ps2d_levels >= 2
+                and not train
+                and len(feats) >= 2 and feats[1] % 32 == 0
+                and full_res[0] % 4 == 0
+                and full_res[1] % 8 == 0 and full_res[2] % 8 == 0):
+            from ..ops.pallas.ps2d import (make_ps2d_plan,
+                                           make_ps2d_plan_multi)
+            f1 = feats[1]
+            # the 2f1->f1 concat conv carries 4*2*K*N4*2 = 16.8 MB of
+            # rotated weights at f1=64; budget accordingly (v5e VMEM is
+            # 128 MB — the call raises its scoped limit to match)
+            dec_plan_l1 = make_ps2d_plan_multi(
+                full_res[1] // 4, full_res[2] // 4, (f1, f1), f1,
+                vmem_budget=28 * 2 ** 20)
+            enc_plan_l1 = make_ps2d_plan(
+                full_res[1] // 4, full_res[2] // 4, feats[0], f1)
+            if dec_plan_l1 is not None and enc_plan_l1 is not None:
+                l1_plans = (enc_plan_l1, dec_plan_l1)
         skips: List[jax.Array] = []
         deep: List[jax.Array] = []
 
@@ -619,6 +651,34 @@ class UNet3D(nn.Module):
                                broadcast_dims=(1, 2, 3),
                                deterministic=not train)(x)
                 continue
+            if l1_plans is not None and i == 1:
+                # level-1 flat region entry from the pooled (normal-
+                # layout) enc0 output; the level-1 skip STAYS flat
+                # until the dec1 stage consumes it. ci=32 is already
+                # lane-full, so no entry variant is needed — the whole
+                # DC runs on the kernels (eval-only region; the train
+                # graph never reaches here and builds the identical
+                # parameter tree on the normal path).
+                from ..ops.pallas.ps2d import (max_pool3d_from_flat,
+                                               normal_to_flat)
+                enc_plan_l1 = l1_plans[0]
+                x = normal_to_flat(x, enc_plan_l1)
+                x = DoubleConv3D(
+                    f, dtype=self.dtype, param_dtype=self.param_dtype,
+                    fast=self.fast, ps2d=True, name=f"down{i}")(
+                    x, plan=enc_plan_l1)
+                skips.append(x)
+                if i < len(feats) - 1:
+                    d = Conv1x1(self.out_channels, kernel_init=KAIMING,
+                                dtype=self.dtype, ps2d=True,
+                                param_dtype=self.param_dtype,
+                                name=f"deep{i}")(x, plan=enc_plan_l1)
+                    deep.append(d)      # dead at eval (l1 is eval-only)
+                x = max_pool3d_from_flat(x, enc_plan_l1)
+                x = nn.Dropout(self.dropout_rate,
+                               broadcast_dims=(1, 2, 3),
+                               deterministic=not train)(x)
+                continue
             if lvl_s2d:
                 x = space_to_depth_hw(x)
             x = block(f, f"down{i}", s2d=lvl_s2d)(x)
@@ -648,6 +708,38 @@ class UNet3D(nn.Module):
             lvl_s2d = use_s2d and last
             lvl_ps2d = ps2d_plan is not None and last
             skip = skips[-(i + 1)]
+            if l1_plans is not None and i == len(feats) - 2:
+                # level-1 flat-resident stage (eval-only): the skip
+                # arrives flat from enc1, the up conv targets the flat
+                # form (fused kernel when the shape is eligible, exact
+                # XLA pair otherwise), the gate folds into the DC's
+                # conv kernels, and the stage exits to normal layout
+                # for the level-0 up that follows.
+                from ..ops.pallas.ps2d import flat_to_normal, input_plan
+                dec_plan_l1 = l1_plans[1]
+                if (x.shape[2:4] != (dec_plan_l1.H2, dec_plan_l1.W2)
+                        or skip.shape != (x.shape[0], 2 * x.shape[1],
+                                          dec_plan_l1.RT,
+                                          dec_plan_l1.C4s[0])):
+                    raise ValueError(
+                        "ps2d level 1: decoder/skip shape mismatch; "
+                        "pad input dims to a multiple of 2**levels")
+                x = FastConvTranspose3D(
+                    f, kernel_init=KAIMING, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"up{i}")(
+                    x, flat_plan=input_plan(dec_plan_l1, 1))
+                psi, se = AttentionGate3D(
+                    f_int=max(f // 2, 1), dtype=self.dtype,
+                    param_dtype=self.param_dtype, fast=self.fast,
+                    ps2d=True, name=f"att{i}")(
+                    g=x, x=skip, plan=input_plan(dec_plan_l1, 0),
+                    fold=True)
+                x = DoubleConv3D(
+                    f, dtype=self.dtype, param_dtype=self.param_dtype,
+                    fast=self.fast, ps2d=True, name=f"dec{i}")(
+                    (skip, x), plan=dec_plan_l1, gate=(psi, se))
+                x = flat_to_normal(x, dec_plan_l1)
+                continue
             up_plan = None
             if lvl_ps2d:
                 # flat-resident stage: the skip arrives ALREADY flat

@@ -662,6 +662,15 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
                                                 else 0))),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    # scoped-vmem limit must cover the actual residency: level-1 plans
+    # (ci=128 -> K=4096) carry 16.8 MB of rotated weights alone, past
+    # the 24 MB default that fit every level-0 shape
+    need = (4 * 2 * p.K * p.N4 * 2                      # rotated w
+            + (p.Hb + 2) * p.P * p.K * 2                # xbuf
+            + 3 * (GUARD + (p.Hb + 1) * p.P) * p.N4 * 4  # ybuf + temps
+            + 2 * (p.Hb * p.P + 3 * p.P) * p.N4 * 2 * 2  # ostages x2
+            + (4 * (p.Hb + 2) * p.P * p.C4s[0] * 2 if has_mul0 else 0))
+    vmem_limit = max(int(vmem_limit), int(need * 1.2))
     out_shape = jax.ShapeDtypeStruct((B, D, RT, p.N4), dt)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     if emit_stats:

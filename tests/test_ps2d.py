@@ -229,6 +229,50 @@ def test_unet_ps2d_eval_matches_normal():
     assert (lab_f == lab_r).mean() >= 0.99, (lab_f != lab_r).mean()
 
 
+def test_unet_ps2d_levels2_matches_normal():
+    """UNet3D(ps2d_eval=True, ps2d_levels=2) — the level-1 flat region
+    on top of level 0 — == the normal eval forward with the SAME
+    parameters, CPU interpret mode. Bounds mirror the levels=1 test
+    (one more flat-resident stage compounds ~the same per-stage bf16
+    reassociation drift)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+    rng = np.random.default_rng(21)     # own rng: order-independent
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 24, 4)), jnp.float32)
+    base = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.bfloat16)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    ref = base.apply(variables, x, train=False)["logits"]
+    fast = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.bfloat16,
+                  ps2d_eval=True, ps2d_levels=2)
+    out = fast.apply(variables, x, train=False)["logits"]
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert d.max() <= 2 ** -4 * max(scale, 1.0), (d.max(), scale)
+    assert d.mean() <= 2 ** -8 * max(scale, 1.0), (d.mean(), scale)
+    # label flips may only happen inside the drift envelope: at
+    # random init logit margins are near zero, so a raw agreement
+    # fraction measures the fixture, not correctness (ADVICE r3 —
+    # don't keep loosening it). Any disagreement at a margin wider
+    # than twice the max drift would be a real defect.
+    lab_f = np.asarray(out).argmax(-1)
+    lab_r = np.asarray(ref).argmax(-1)
+    top2 = np.sort(np.asarray(ref), axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    dis = lab_f != lab_r
+    assert (lab_f == lab_r).mean() >= 0.98, dis.mean()
+    assert not (dis & (margin > 2 * d.max())).any(), (
+        margin[dis].max(), d.max())
+    # and levels=2 must change nothing when the shape is ineligible
+    # (odd level-1 dims): falls back to the levels=1 graph
+    x2 = jnp.asarray(rng.normal(size=(1, 4, 12, 20, 4)), jnp.float32)
+    v2 = base.init(jax.random.PRNGKey(1), x2, train=False)
+    l1 = UNet3D(out_channels=4, features=(32, 64), dtype=jnp.bfloat16,
+                ps2d_eval=True)
+    a = np.asarray(fast.apply(v2, x2, train=False)["logits"])
+    b = np.asarray(l1.apply(v2, x2, train=False)["logits"])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pack_flat_fast_matches_xla_pack():
     """The Pallas relayout kernel == the XLA jnp.pad pack, bit-exact
     (pure data movement), including the D-chunked grid path and the
