@@ -48,15 +48,51 @@ def _dp_run(model, mesh: Mesh) -> Callable:
     return run
 
 
-def make_dp_segmenter(model, variables, mesh: Mesh) -> Callable:
+@functools.lru_cache(maxsize=8)
+def _dp_run_shard_map(model, mesh: Mesh) -> Callable:
+    """DP segmenter as an explicit per-chip program (shard_map).
+
+    GSPMD cannot partition a ``pallas_call`` — under the jit path a
+    ps2d/flat-region model would be gathered and replicated per chip,
+    destroying the DP scaling. shard_map runs the WHOLE local forward
+    (kernels included) on each chip's batch shard with no partitioner
+    in the loop; volumes never need cross-chip communication, so the
+    two formulations are exactly equal label-wise."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(v, vols):
+        out = model.apply(v, vols, train=False)
+        logits = out["logits"] if isinstance(out, dict) else out
+        return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+
+    # batch over 'data' only — the same contract (and padding rules) as
+    # the GSPMD path; on a space>1 mesh each space row redundantly
+    # computes its data row's shard (cohort work uses data-only meshes)
+    # check_vma off: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, and the body is per-shard local anyway
+    smap = shard_map(local, mesh=mesh, in_specs=(P(), P("data")),
+                     out_specs=P("data"), check_vma=False)
+    return jax.jit(smap)
+
+
+def make_dp_segmenter(model, variables, mesh: Mesh,
+                      via_shard_map: Optional[bool] = None) -> Callable:
     """Bind ``model`` into a jitted mesh-sharded batch segmenter.
 
     Returns ``segment(vols) -> labels`` mapping (N, D, H, W, C) float
     volumes to (N, D, H, W) int8 label maps, with N sharded over the
     mesh's ``data`` axis. N must be divisible by the data-axis size
     (use ``segment_cohort`` for arbitrary N).
+
+    ``via_shard_map``: run each chip's shard as an explicit local
+    program instead of through the GSPMD partitioner. Defaults to
+    auto: ON when the model uses the Pallas flat-region path (which
+    GSPMD cannot partition), OFF otherwise (both are exact).
     """
-    run = _dp_run(model, mesh)
+    if via_shard_map is None:
+        via_shard_map = bool(getattr(model, "ps2d_eval", False))
+    run = (_dp_run_shard_map if via_shard_map else _dp_run)(model, mesh)
     return lambda vols: run(variables, vols)
 
 

@@ -179,6 +179,36 @@ def test_dp_batch_inference_matches_single_device(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_dp_shard_map_ps2d_matches_single_device(rng):
+    """shard_map DP segmenter (auto-selected for the Pallas flat-region
+    model, which GSPMD cannot partition) == single-device ps2d, exact.
+    Also pins the auto-selection: a ps2d model routes via shard_map."""
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu import (
+        models)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.parallel import (
+        create_mesh)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.parallel.infer import (
+        make_dp_segmenter)
+
+    model = models.UNet3D(out_channels=4, features=(32, 64),
+                          dtype=jnp.float32, ps2d_eval=True,
+                          ps2d_levels=2)
+    vols = rng.normal(size=(8, 8, 16, 16, 4)).astype(np.float32)
+    vars_ = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 4)),
+        train=False)
+    want = np.asarray(jax.jit(
+        lambda v, b: jnp.argmax(
+            model.apply(v, b, train=False)["logits"],
+            -1).astype(jnp.int8))(vars_, jnp.asarray(vols)))
+
+    mesh = create_mesh(8, 1)
+    got = np.asarray(make_dp_segmenter(model, vars_, mesh)(
+        jnp.asarray(vols)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_conv3d_wrapper_matches_global(rng):
     """sharded_conv3d (the SAME-conv wrapper, zero global boundaries)
     == the unsharded zero-pad SAME conv — including the first/last D
