@@ -65,6 +65,9 @@ class ModelConfig:
     # (benchmarks/RESULTS.md round 3). Exact and checkpoint-compatible;
     # takes precedence over s2d_eval at level 0.
     ps2d_eval: bool = False
+    # how many resolution levels (from 0) run flat-resident with
+    # ps2d_eval (2 extends the region to enc1/dec1)
+    ps2d_levels: int = 1
 
 
 @dataclass(frozen=True)

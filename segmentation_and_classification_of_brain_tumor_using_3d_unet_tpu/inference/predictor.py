@@ -48,7 +48,8 @@ class Predictor:
             out_channels=mc.out_channels, features=mc.features,
             dropout_rate=mc.dropout_rate, dtype=dtype, remat=mc.remat,
             s2d_eval=getattr(mc, "s2d_eval", False),
-            ps2d_eval=getattr(mc, "ps2d_eval", False))
+            ps2d_eval=getattr(mc, "ps2d_eval", False),
+            ps2d_levels=getattr(mc, "ps2d_levels", 1))
         self.cls_model = cls_model or BrainTumorClassifier(
             num_classes=4, dtype=dtype)
 
