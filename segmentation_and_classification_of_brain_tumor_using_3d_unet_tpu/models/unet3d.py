@@ -646,7 +646,10 @@ class UNet3D(nn.Module):
                     if self.deep_sup_full_res:
                         d = resize_trilinear(d, full_res)
                 deep.append(d)
-                x = max_pool3d_from_flat(x, enc_plan)
+                if l1_plans is None:
+                    x = max_pool3d_from_flat(x, enc_plan)
+                # else: x stays FLAT — the pool fuses into the level-1
+                # region entry (pool_into_flat below)
                 x = nn.Dropout(self.dropout_rate,
                                broadcast_dims=(1, 2, 3),
                                deterministic=not train)(x)
@@ -660,9 +663,15 @@ class UNet3D(nn.Module):
                 # graph never reaches here and builds the identical
                 # parameter tree on the normal path).
                 from ..ops.pallas.ps2d import (max_pool3d_from_flat,
-                                               normal_to_flat)
+                                               normal_to_flat,
+                                               pool_into_flat)
                 enc_plan_l1 = l1_plans[0]
-                x = normal_to_flat(x, enc_plan_l1)
+                if x.ndim == 4:
+                    # flat level-0 straight from enc0: pool + s2d +
+                    # pack in one kernel (exact XLA chain otherwise)
+                    x = pool_into_flat(x, enc_plan, enc_plan_l1)
+                else:
+                    x = normal_to_flat(x, enc_plan_l1)
                 x = DoubleConv3D(
                     f, dtype=self.dtype, param_dtype=self.param_dtype,
                     fast=self.fast, ps2d=True, name=f"down{i}")(

@@ -270,6 +270,74 @@ def up_k2s2_into_flat(x: jax.Array, w: jax.Array,
     return yf.reshape(B, 2 * D2, plan.RT, C4)
 
 
+def _pool_flat_kernel(x_ref, o_ref, *, P0: int, H21: int, W21: int,
+                      cp: int):
+    # x_ref (1, 2, RT0, 4cp): two level-L depth slices of the flat
+    # form; o_ref (1, 1, H21+3, P1, 4cp): one level-(L+1) flat slice.
+    # 2x2x2 max pool decomposes exactly onto the layouts: the HxW
+    # window IS the 4 level-L phase lane blocks (intra-tile lane-block
+    # max), the depth pair is the elementwise max of the two slices,
+    # and the level-(L+1) s2d regroup is a stride-2 row/column gather
+    # into the 4 output phase blocks. Pads stay exact zero: only valid
+    # source rows are gathered and the output is zero-initialized.
+    o_ref[...] = jnp.zeros_like(o_ref)
+    m = jnp.maximum(x_ref[0, 0], x_ref[0, 1])            # (RT0, 4cp)
+    m = m.reshape(m.shape[0], 4, cp).max(axis=1)         # phase max
+    mv = m.reshape(m.shape[0] // P0, P0, cp)
+    for ph in range(2):
+        for pw in range(2):
+            blk = mv[ph + 1:ph + 1 + 2 * H21:2,
+                     pw + 1:pw + 1 + 2 * W21:2, :]       # (H21,W21,cp)
+            q = 2 * ph + pw
+            o_ref[0, 0, 1:H21 + 1, 1:W21 + 1,
+                  q * cp:(q + 1) * cp] = blk
+
+
+def pool_into_flat(xf: jax.Array, plan0: PS2DPlan, plan1: PS2DPlan,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """MaxPool(2^3) of a flat level-L tensor emitting the flat
+    level-(L+1) layout DIRECTLY — fuses ``max_pool3d_from_flat`` +
+    ``space_to_depth_hw`` + ``pack_flat`` into one kernel (the XLA
+    chain unpacks the full level-L tensor and re-materializes the
+    padded level-(L+1) form). Semantics ==
+    ``normal_to_flat(max_pool3d_from_flat(xf, plan0), plan1)``.
+
+    The fused kernel runs in interpret mode (tests) or when
+    ``SEG3D_POOL_FUSED=1`` (on-chip opt-in so a Mosaic lowering issue
+    can only fail its own A/B step); otherwise — and for ineligible
+    shapes — the exact XLA chain runs."""
+    import os
+    B, D, RT0, C4 = xf.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    cp = C4 // 4
+    fused_on = interpret or os.environ.get("SEG3D_POOL_FUSED") == "1"
+    if (not fused_on or RT0 != plan0.RT or C4 != plan0.C4
+            or C4 != plan1.C4 or 4 * plan0.co != C4
+            or plan1.H2 * 2 != plan0.H2 or plan1.W2 * 2 != plan0.W2
+            or D % 2 or C4 % 128):
+        return normal_to_flat(max_pool3d_from_flat(xf, plan0), plan1)
+    kern = functools.partial(_pool_flat_kernel, P0=plan0.P,
+                             H21=plan1.H2, W21=plan1.W2, cp=cp)
+    yf = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, D // 2, plan1.H2 + 3, plan1.P, C4), xf.dtype),
+        grid=(B, D // 2),
+        in_specs=[pl.BlockSpec((1, 2, RT0, C4),
+                               lambda b, d: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, plan1.H2 + 3, plan1.P, C4),
+                               lambda b, d: (b, d, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2 ** 20),
+        interpret=interpret,
+    )(xf)
+    # merging (H21+3, P1) -> RT1 is layout-free (adjacent dims)
+    return yf.reshape(B, D // 2, plan1.RT, C4)
+
+
 def unpack_flat(yf: jax.Array, plan: PS2DPlan) -> jax.Array:
     """Flat padded (B, D, RT, N4) -> packed (B, D, H2, W2, 4co)."""
     B, D, _, N4 = yf.shape

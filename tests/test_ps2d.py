@@ -273,6 +273,35 @@ def test_unet_ps2d_levels2_matches_normal():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pool_into_flat_matches_xla_chain():
+    """Fused pool kernel (flat level-L -> flat level-(L+1)) == the
+    exact XLA chain normal_to_flat(max_pool3d_from_flat(...)), bit-
+    exact (pure max + data movement), incl. an ineligible-shape
+    fallback (odd D)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.ops.pallas.ps2d import (
+        max_pool3d_from_flat, normal_to_flat, pool_into_flat)
+    for (B, D, H, W, c) in [(1, 4, 16, 24, 32), (2, 6, 8, 16, 32)]:
+        plan0 = make_ps2d_plan(H // 2, W // 2, c, c)
+        plan1 = make_ps2d_plan(H // 4, W // 4, c, 2 * c)
+        x = jnp.asarray(RNG.normal(size=(B, D, H, W, c)), jnp.bfloat16)
+        xf = pack_flat(space_to_depth_hw(x), plan0)
+        a = np.asarray(pool_into_flat(xf, plan0, plan1,
+                                      interpret=True), np.float32)
+        b = np.asarray(normal_to_flat(max_pool3d_from_flat(xf, plan0),
+                                      plan1), np.float32)
+        np.testing.assert_array_equal(a, b)
+    # odd depth -> XLA fallback path, still exact
+    plan0 = make_ps2d_plan(8, 12, 32, 32)
+    plan1 = make_ps2d_plan(4, 6, 32, 64)
+    x = jnp.asarray(RNG.normal(size=(1, 3, 16, 24, 32)), jnp.bfloat16)
+    xf = pack_flat(space_to_depth_hw(x), plan0)
+    a = np.asarray(pool_into_flat(xf, plan0, plan1, interpret=True),
+                   np.float32)
+    b = np.asarray(normal_to_flat(max_pool3d_from_flat(xf, plan0),
+                                  plan1), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pack_flat_fast_matches_xla_pack():
     """The Pallas relayout kernel == the XLA jnp.pad pack, bit-exact
     (pure data movement), including the D-chunked grid path and the
