@@ -41,6 +41,12 @@ def main():
                          "contains cases (skips the slow 1-CPU "
                          "synthetic-data regeneration on restarts)")
     ap.add_argument("--hausdorff_every", type=int, default=5)
+    ap.add_argument("--experiment_name", type=str,
+                    default="convergence_check",
+                    help="save-on-best checkpoint name (results/models/"
+                         "best_<name>); override for side experiments "
+                         "so they cannot clobber the main run's resume "
+                         "checkpoint")
     ap.add_argument("--size_range", type=int, nargs=2, default=None,
                     help="tumor-radius draw (lo, hi) for the generated "
                          "cohort; the --long preset defaults to "
@@ -112,7 +118,7 @@ def main():
                    deep_sup_full_res=args.deep_full_res)
     trainer = ModernBrainTumorTrainer(
         model, learning_rate=1e-3, config=cfg,
-        experiment_name="convergence_check",
+        experiment_name=args.experiment_name,
         hausdorff_every=args.hausdorff_every)
     if args.resume:
         trainer.load_checkpoint(args.resume)

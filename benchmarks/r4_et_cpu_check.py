@@ -2,12 +2,21 @@
 
 The r3 quality run's ET dice was floored by fixture geometry (27-81
 ET voxels/case); the r4 cohort default ``size_range=(14, 22)`` lifts
-ET to ~310-1200 voxels. The full 96^3 flagship rerun needs the TPU
-attach; THIS script is the attach-independent sanity check: a small
-UNet on a small-grid cohort with the SAME absolute ET radii (size_range
-is in voxels, so a smaller grid keeps the ET voxel count) must reach
-ET dice well above the old 0.014 floor. Run niced in the background on
-the 1-CPU host.
+ET to ~310-1200 voxels at the 96^3 generation grid. The full 96^3
+flagship rerun needs the TPU attach; THIS script is the
+attach-independent check: the r3-PASSING quick-convergence config
+(16 samples, 64^3 train grid, features 16/32/64/128 — the only delta
+is the new size_range, so the result isolates the cohort change) must
+clear the script's best-val-dice > 0.3 assert, with ET dice reported.
+Run niced in the background on the 1-CPU host.
+
+Attempt 1 (journal): a much weaker config (features 8/16/32, 64x64x48
+generation grid) stalled at val dice 0.068 — and, by using the default
+experiment name, OVERWROTE results/models/best_convergence_check, the
+r3 long run's resume checkpoint (epoch 89, mean val dice 0.556). That
+checkpoint is unrecoverable (results/ is untracked); the on-chip
+quality rerun starts from scratch on the r4 cohort. Both mistakes are
+fixed here: r3-validated config + --experiment_name isolation.
 """
 
 import sys
@@ -17,32 +26,30 @@ import jax
 jax.config.update("jax_platforms", "cpu")   # axon attach may be down
 sys.path.insert(0, "/root/repo")
 
-# generate the cohort at the NATIVE training grid (convergence_check's
-# own generation call is pinned to the 96^3 grid, which --size would
-# then downscale, shrinking ET below the intended count); the script
-# reuses a populated --data_dir as-is
+# cohort at the standard 96^3 generation grid with the r4 size_range;
+# the 64^3 training resize keeps ET at ~92-355 voxels (3-12x the r3
+# floor). Generated here so the script reuses it on restarts.
 import os  # noqa: E402
 
-data_dir = "/root/repo/.et_check_data"
+data_dir = "/root/repo/.et_check_r4b_data"
 if not (os.path.isdir(data_dir)
         and sum(1 for e in os.scandir(data_dir) if e.is_dir())):
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (  # noqa: E402,E501
         create_enhanced_synthetic_data)
-    create_enhanced_synthetic_data(16, data_dir, shape=(64, 64, 48),
+    create_enhanced_synthetic_data(16, data_dir, shape=(96, 96, 64),
                                    seed=7, size_range=(14, 22))
 
 sys.argv = [
     "convergence_check",
     "--samples", "16",
-    "--epochs", "60",
-    "--size", "64", "64", "48",
-    "--features", "8", "16", "32",
+    "--epochs", "120",
+    "--size", "64", "64", "64",
+    "--features", "16", "32", "64", "128",
     "--size_range", "14", "22",
-    "--scheduler", "cosine_warm_restarts",
-    "--ema", "0.999",
     "--val_interval", "2",
     "--hausdorff_every", "10000",
-    "--data_dir", "/root/repo/.et_check_data",
+    "--experiment_name", "et_check_r4",
+    "--data_dir", data_dir,
 ]
 
 import importlib.util  # noqa: E402

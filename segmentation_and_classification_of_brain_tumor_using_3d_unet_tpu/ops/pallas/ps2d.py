@@ -143,6 +143,17 @@ def pack_flat(xp: jax.Array, plan: PS2DPlan) -> jax.Array:
     return x.reshape(B, D, (H2 + 3) * P, plan.C4)
 
 
+def _relaxed() -> bool:
+    """Opt-in (SEG3D_PS2D_RELAXED=1) relaxation of the W2 % 8 layout
+    gates on the relayout/up kernels. The 8-row gate was precautionary
+    (Mosaic relayouts for unaligned second-minor dims); interpret mode
+    always takes the kernel path so tests pin exactness at unaligned
+    W2, and the on-chip opt-in isolates a lowering failure to its own
+    A/B step. Level-1 geometry at the crop bucket has W2 = 36."""
+    import os
+    return os.environ.get("SEG3D_PS2D_RELAXED") == "1"
+
+
 def _pack_flat_kernel(x_ref, o_ref, *, Db: int, H2: int, W2: int):
     # x_ref (1, Db, H2, W2, C4) -> o_ref (1, Db, H2+3, P, C4): data at
     # [1:H2+1, 1:W2+1), zeros elsewhere (halo + pitch padding). The
@@ -169,7 +180,8 @@ def pack_flat_fast(xp: jax.Array, plan: PS2DPlan,
     if interpret is None:
         interpret = _interpret_default()
     if (C4 != plan.C4 or (H2, W2) != (plan.H2, plan.W2)
-            or W2 % 8 or C4 % 128):
+            or (W2 % 8 and not (interpret or _relaxed()))
+            or C4 % 128):
         return pack_flat(xp, plan)
     unit = (H2 * W2 + (H2 + 3) * plan.P) * C4 * xp.dtype.itemsize
     Db = 1
@@ -232,7 +244,8 @@ def up_k2s2_into_flat(x: jax.Array, w: jax.Array,
     if interpret is None:
         interpret = _interpret_default()
     if (C4 != plan.C4 or (H2, W2) != (plan.H2, plan.W2)
-            or W2 % 8 or C4 % 128 or ci % 8):
+            or (W2 % 8 and not (interpret or _relaxed()))
+            or C4 % 128 or ci % 8):
         from ..s2d import conv_transpose3d_k2s2_s2d_out
         return pack_flat(conv_transpose3d_k2s2_s2d_out(x, w, bias),
                          plan)
