@@ -100,8 +100,11 @@ def main():
 
     import os
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="convergence_")
+    # count CASE dirs (one level below the train/val splits) — the
+    # top-level entries are the two split dirs themselves
     have = (os.path.isdir(data_dir)
-            and sum(1 for e in os.scandir(data_dir) if e.is_dir()))
+            and sum(1 for s in os.scandir(data_dir) if s.is_dir()
+                    for e in os.scandir(s.path) if e.is_dir()))
     if have and args.data_dir:
         print(f"reusing {have}-case cohort in {data_dir}")
     else:
