@@ -209,6 +209,49 @@ def test_dp_shard_map_ps2d_matches_single_device(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def _windowpar_case(rng, **model_kwargs):
+    import jax.numpy as jnp
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu import (
+        models)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.inference.sliding_window import (
+        sliding_window_inference)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.parallel import (
+        create_mesh, sliding_window_inference_mp)
+
+    mesh = create_mesh(8, 1)
+    vol = jnp.asarray(rng.normal(size=(24, 24, 16, 4)).astype(np.float32))
+    model = models.UNet3D(out_channels=4, dtype=jnp.float32,
+                          **model_kwargs)
+    vars_ = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 4)),
+        train=False)
+
+    def apply_fn(v, p):
+        return model.apply(v, p, train=False)["logits"]
+
+    sw_kw = dict(roi_size=(16, 16, 16), overlap=0.5, sw_batch_size=2)
+    ref = np.asarray(sliding_window_inference(
+        vars_, vol, apply_fn, **sw_kw))
+    got = np.asarray(sliding_window_inference_mp(
+        vars_, vol, apply_fn, mesh, **sw_kw))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_window_parallel_sliding_window_matches_single_device(rng):
+    """Window-parallel sliding window (grid split over the mesh, one
+    psum of the accumulators) == the single-device engine, up to fp32
+    accumulation order."""
+    _windowpar_case(rng, features=FEATS)
+
+
+@pytest.mark.slow
+def test_window_parallel_sliding_window_ps2d(rng):
+    """Same, with the ps2d flat-region model — shard_map runs the
+    Pallas kernels per chip unchanged (interpret mode here, so slow)."""
+    _windowpar_case(rng, features=(32, 64), ps2d_eval=True,
+                    ps2d_levels=2)
+
+
 def test_sharded_conv3d_wrapper_matches_global(rng):
     """sharded_conv3d (the SAME-conv wrapper, zero global boundaries)
     == the unsharded zero-pad SAME conv — including the first/last D
