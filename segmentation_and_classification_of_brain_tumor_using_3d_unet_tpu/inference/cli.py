@@ -147,6 +147,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "together)")
     p.add_argument("--batch_per_chip", type=int, default=1,
                    help="volumes per device per wave in --data_parallel")
+    p.add_argument("--window_parallel", action="store_true",
+                   help="split each volume's sliding-window grid over "
+                        "all devices (cropped/sliding_window modes; "
+                        "single-volume latency scales with chips)")
     p.add_argument("--brats_labels", action="store_true",
                    help="write masks in the raw BraTS convention "
                         "(enhancing tumor = label 4, as on disk in "
@@ -216,6 +220,20 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
         norm = np.asarray(preprocess_multimodal(jnp.asarray(raw),
                                                 out_size=None))
         return raw, norm
+
+    if args.window_parallel:
+        if args.mode == "whole_volume":
+            raise SystemExit("--window_parallel distributes sliding "
+                             "windows; whole_volume has none (use "
+                             "--data_parallel there)")
+        if args.data_parallel:
+            raise SystemExit("--window_parallel and --data_parallel "
+                             "are different axes; pick one")
+        from ..parallel import create_mesh
+        wp_mesh = create_mesh()     # every device on the data axis
+        logger.info("window-parallel over %d device(s)",
+                    wp_mesh.devices.size)
+        predictor.enable_window_parallel(wp_mesh)
 
     loaded: Dict[str, tuple] = {}
     dp_results: Dict[str, tuple] = {}
@@ -337,6 +355,8 @@ def predict_main(argv: Optional[Sequence[str]] = None) -> List[Dict]:
              "cases": summaries}
     if args.data_parallel:
         index["data_parallel_devices"] = int(mesh.devices.size)
+    if args.window_parallel:
+        index["window_parallel_devices"] = int(wp_mesh.devices.size)
     with open(os.path.join(args.output, "predictions.json"), "w") as f:
         json.dump(index, f, indent=1, default=float)
     return summaries

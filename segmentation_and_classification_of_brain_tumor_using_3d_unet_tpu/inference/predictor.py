@@ -78,6 +78,36 @@ class Predictor:
         self._whole_tta = jax.jit(self._whole_volume_tta_probs)
         self._classify = jax.jit(self._classify_logits)
 
+    def enable_window_parallel(self, mesh) -> None:
+        """Route sliding-window segmentation (``sliding_window`` and
+        ``cropped`` modes) through the window-parallel multichip
+        engine (``parallel.infer.sliding_window_inference_mp``): the
+        window grid splits over the mesh's data axis and one psum
+        merges the Gaussian accumulators — single-volume latency
+        scales with chips. Weight swaps (checkpoint adoption) keep
+        working through the same ``set_variables`` contract."""
+        from ..parallel.infer import sliding_window_inference_mp
+        ic = self.config.inference
+        state = {"variables": self.seg_variables}
+        model = self.seg_model
+
+        def apply_fn(vars_, patches):
+            out = model.apply(vars_, patches, train=False)
+            return out["logits"] if isinstance(out, dict) else out
+
+        def predict(volume):
+            return sliding_window_inference_mp(
+                state["variables"], volume, apply_fn, mesh,
+                roi_size=tuple(ic.roi_size), overlap=ic.overlap,
+                sw_batch_size=ic.sw_batch_size,
+                blend_mode=ic.blend_mode,
+                sigma_scale=ic.gaussian_sigma_scale,
+                out_channels=getattr(model, "out_channels", 4))
+
+        predict.set_variables = (
+            lambda v: state.__setitem__("variables", v))
+        self._sw = predict
+
     # -------------------- segmentation --------------------
 
     def _whole_volume_logits(self, variables, volume: Array) -> Array:

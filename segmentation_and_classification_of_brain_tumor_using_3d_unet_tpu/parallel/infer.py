@@ -178,54 +178,19 @@ def segment_cohort_whole(model, variables, mesh: Mesh, volumes,
             np.concatenate(confs, 0)[:n])
 
 
-def sliding_window_inference_mp(params, volume, apply_fn, mesh: Mesh,
-                                axis: str = "data",
-                                roi_size=(128, 128, 128),
-                                overlap: float = 0.5,
-                                sw_batch_size: int = 1,
-                                blend_mode: str = "gaussian",
-                                sigma_scale: float = 0.125,
-                                out_channels: int = 4):
-    """WINDOW-PARALLEL sliding-window inference: single-volume LATENCY
-    scaling (the third parallel axis, next to DP-over-volumes for
-    throughput and GSPMD-spatial for memory).
-
-    The static window grid is split across the mesh's ``axis``; each
-    chip forwards + Gaussian-accumulates its windows into a local
-    full-volume fp32 accumulator, and one ``psum`` merges accumulators
-    and weight sums (windows are independent until the blend, so this
-    is the whole communication). Runs as an explicit per-chip program
-    (shard_map), so the ps2d Pallas path works unchanged. Matches the
-    single-device engine up to fp32 accumulation order.
-
-    volume: (D, H, W, C); returns (D, H, W, out_channels) fp32 blended
-    logits, replicated across the mesh.
-    """
+@functools.lru_cache(maxsize=8)
+def _windowpar_jit(apply_fn, mesh: Mesh, axis: str, roi_size,
+                   sw_batch_size: int, blend_mode: str,
+                   sigma_scale: float, out_channels: int) -> Callable:
+    """Memoized jitted per-chip window-accumulate program (one per
+    (apply_fn, mesh, geometry) — repeated same-shape volumes reuse the
+    compiled program; a fresh jit per call would retrace every
+    volume). The importance map and roi are static closures; the
+    volume/grid shapes key jit's own cache."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..inference.sliding_window import (
-        _pad_to_roi, compute_patch_starts, gaussian_importance_map)
-
-    orig_shape = volume.shape[:3]
-    volume, _ = _pad_to_roi(volume, roi_size)
-    D, H, W = volume.shape[:3]
-    starts = [compute_patch_starts(d, r, overlap)
-              for d, r in zip((D, H, W), roi_size)]
-    grid = np.stack(np.meshgrid(*[np.asarray(s) for s in starts],
-                                indexing="ij"), axis=-1).reshape(-1, 3)
-    num = grid.shape[0]
-    n_chips = mesh.shape[axis]
-    pad = (-num) % (n_chips * sw_batch_size)
-    valid = np.ones(num + pad, np.float32)
-    if pad:
-        grid = np.concatenate([grid, np.repeat(grid[:1], pad, 0)], 0)
-        valid[num:] = 0.0
-    # chip-major split: chip i takes groups [i*gpc, (i+1)*gpc)
-    grid_j = jnp.asarray(grid, jnp.int32).reshape(
-        n_chips, -1, sw_batch_size, 3)
-    valid_j = jnp.asarray(valid, jnp.float32).reshape(
-        n_chips, -1, sw_batch_size)
+    from ..inference.sliding_window import gaussian_importance_map
 
     if blend_mode == "gaussian":
         imp = gaussian_importance_map(roi_size, sigma_scale)
@@ -234,8 +199,8 @@ def sliding_window_inference_mp(params, volume, apply_fn, mesh: Mesh,
 
     def local(p, vol, g, v):
         g, v = g[0], v[0]                      # this chip's groups
-        acc = jnp.zeros((D, H, W, out_channels), jnp.float32)
-        wsum = jnp.zeros((D, H, W, 1), jnp.float32)
+        acc = jnp.zeros((*vol.shape[:3], out_channels), jnp.float32)
+        wsum = jnp.zeros((*vol.shape[:3], 1), jnp.float32)
 
         def gather(start):
             return jax.lax.dynamic_slice(
@@ -275,7 +240,61 @@ def sliding_window_inference_mp(params, volume, apply_fn, mesh: Mesh,
     smap = shard_map(local, mesh=mesh,
                      in_specs=(P(), P(), P(axis), P(axis)),
                      out_specs=(P(), P()), check_vma=False)
-    acc, wsum = jax.jit(smap)(params, volume, grid_j, valid_j)
+    return jax.jit(smap)
+
+
+def sliding_window_inference_mp(params, volume, apply_fn, mesh: Mesh,
+                                axis: str = "data",
+                                roi_size=(128, 128, 128),
+                                overlap: float = 0.5,
+                                sw_batch_size: int = 1,
+                                blend_mode: str = "gaussian",
+                                sigma_scale: float = 0.125,
+                                out_channels: int = 4):
+    """WINDOW-PARALLEL sliding-window inference: single-volume LATENCY
+    scaling (the third parallel axis, next to DP-over-volumes for
+    throughput and GSPMD-spatial for memory).
+
+    The static window grid is split across the mesh's ``axis``; each
+    chip forwards + Gaussian-accumulates its windows into a local
+    full-volume fp32 accumulator, and one ``psum`` merges accumulators
+    and weight sums (windows are independent until the blend, so this
+    is the whole communication). Runs as an explicit per-chip program
+    (shard_map), so the ps2d Pallas path works unchanged. Matches the
+    single-device engine up to fp32 accumulation order.
+
+    volume: (D, H, W, C); returns (D, H, W, out_channels) fp32 blended
+    logits, replicated across the mesh. Pass a STABLE ``apply_fn``
+    (same object across calls) so the compiled program is reused.
+    """
+    from ..inference.sliding_window import (_pad_to_roi,
+                                            compute_patch_starts)
+
+    roi_size = tuple(roi_size)
+    orig_shape = volume.shape[:3]
+    volume, _ = _pad_to_roi(volume, roi_size)
+    D, H, W = volume.shape[:3]
+    starts = [compute_patch_starts(d, r, overlap)
+              for d, r in zip((D, H, W), roi_size)]
+    grid = np.stack(np.meshgrid(*[np.asarray(s) for s in starts],
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    num = grid.shape[0]
+    n_chips = mesh.shape[axis]
+    pad = (-num) % (n_chips * sw_batch_size)
+    valid = np.ones(num + pad, np.float32)
+    if pad:
+        grid = np.concatenate([grid, np.repeat(grid[:1], pad, 0)], 0)
+        valid[num:] = 0.0
+    # chip-major split: chip i takes groups [i*gpc, (i+1)*gpc)
+    grid_j = jnp.asarray(grid, jnp.int32).reshape(
+        n_chips, -1, sw_batch_size, 3)
+    valid_j = jnp.asarray(valid, jnp.float32).reshape(
+        n_chips, -1, sw_batch_size)
+
+    run = _windowpar_jit(apply_fn, mesh, axis, roi_size, sw_batch_size,
+                         blend_mode, float(sigma_scale),
+                         int(out_channels))
+    acc, wsum = run(params, volume, grid_j, valid_j)
     out = acc / jnp.maximum(wsum, 1e-8)
     if (D, H, W) != tuple(orig_shape):
         off = [(p0 - o) // 2 for p0, o in zip((D, H, W), orig_shape)]

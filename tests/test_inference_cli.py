@@ -123,6 +123,29 @@ def test_data_parallel_matches_sequential(cohort, tmp_path):
 
 
 @pytest.mark.slow
+def test_window_parallel_matches_sequential(cohort, tmp_path):
+    """--window_parallel splits each volume's window grid over the
+    virtual 8-device mesh and must reproduce the sequential
+    sliding-window path per case (same Gaussian blend, psum-merged)."""
+    common = ["--input", str(cohort), "--mode", "sliding_window",
+              "--checkpoint", "none", "--format", "npy",
+              "--save_confidence",
+              "--image_size", "16", "16", "16", "--features", "8",
+              "16", "--roi_size", "16", "16", "16"]
+    predict_main(["--output", str(tmp_path / "seq")] + common)
+    predict_main(["--output", str(tmp_path / "wp"),
+                  "--window_parallel"] + common)
+    for cid in ("case_a", "case_b"):
+        seq = np.load(tmp_path / "seq" / f"{cid}_seg.npy")
+        wp = np.load(tmp_path / "wp" / f"{cid}_seg.npy")
+        # identical up to fp32 accumulation-order ties at boundaries
+        assert (seq != wp).mean() < 0.01
+        cseq = np.load(tmp_path / "seq" / f"{cid}_conf.npy")
+        cwp = np.load(tmp_path / "wp" / f"{cid}_conf.npy")
+        np.testing.assert_allclose(cseq, cwp, atol=0.05)
+
+
+@pytest.mark.slow
 def test_cli_adopts_trained_checkpoint(cohort, tmp_path):
     """Auto-discovery of the newest compatible best_* checkpoint under
     --models_dir (the serving handoff, shared via
