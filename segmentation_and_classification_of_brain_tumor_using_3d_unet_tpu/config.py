@@ -172,6 +172,11 @@ class InferenceConfig:
     # Off by default — serving latency and the headline bench stay
     # single-pass. No reference counterpart.
     tta: bool = False
+    # split each volume's sliding-window grid over all devices
+    # (parallel.infer.sliding_window_inference_mp): single-volume
+    # latency scales with chips. Applies to cropped/sliding_window
+    # modes when more than one device is visible; no-op on one chip.
+    window_parallel: bool = False
     # canonical crop-bucket sizes for serving: each crop axis rounds up
     # to the smallest rung, so a serving process compiles at most a
     # handful of sliding-window programs regardless of brain sizes

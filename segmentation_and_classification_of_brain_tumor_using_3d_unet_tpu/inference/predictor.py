@@ -77,6 +77,10 @@ class Predictor:
         self._whole = jax.jit(self._whole_volume_logits)
         self._whole_tta = jax.jit(self._whole_volume_tta_probs)
         self._classify = jax.jit(self._classify_logits)
+        if (getattr(ic, "window_parallel", False)
+                and jax.device_count() > 1):
+            from ..parallel import create_mesh
+            self.enable_window_parallel(create_mesh())
 
     def enable_window_parallel(self, mesh) -> None:
         """Route sliding-window segmentation (``sliding_window`` and
