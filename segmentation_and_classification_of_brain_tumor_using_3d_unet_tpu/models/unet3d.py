@@ -634,18 +634,19 @@ class UNet3D(nn.Module):
                 skips.append(x)
                 # dead at eval (returned only when train) but traced
                 # so an eval-mode init creates the same parameter tree
-                d = Conv1x1(
-                    self.out_channels, kernel_init=KAIMING,
-                    dtype=self.dtype, ps2d=True,
-                    param_dtype=self.param_dtype, name=f"deep{i}")(
-                    x, plan=enc_plan)
-                if train:
-                    # losses consume normal layout
-                    d = flat_to_normal(
-                        d, enc_plan._replace(co=self.out_channels))
-                    if self.deep_sup_full_res:
-                        d = resize_trilinear(d, full_res)
-                deep.append(d)
+                if i < len(feats) - 1:   # deep heads: non-final levels
+                    d = Conv1x1(
+                        self.out_channels, kernel_init=KAIMING,
+                        dtype=self.dtype, ps2d=True,
+                        param_dtype=self.param_dtype, name=f"deep{i}")(
+                        x, plan=enc_plan)
+                    if train:
+                        # losses consume normal layout
+                        d = flat_to_normal(
+                            d, enc_plan._replace(co=self.out_channels))
+                        if self.deep_sup_full_res:
+                            d = resize_trilinear(d, full_res)
+                    deep.append(d)
                 if l1_plans is None:
                     x = max_pool3d_from_flat(x, enc_plan)
                 # else: x stays FLAT — the pool fuses into the level-1

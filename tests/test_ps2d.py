@@ -273,6 +273,59 @@ def test_unet_ps2d_levels2_matches_normal():
     np.testing.assert_array_equal(a, b)
 
 
+def test_trained_checkpoint_parity():
+    """ps2d flat-region forward vs base on a TRAINED checkpoint
+    (ADVICE r3): real logit margins, so the contract is strict — zero
+    label flips and tight drift. The fixture is a small UNet3D
+    (features=(32,), level-0 ps2d-eligible) trained to high accuracy
+    on a blob task (benchmarks/r4_make_parity_fixture.py)."""
+    import os
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models import (
+        UNet3D)
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "ps2d_parity_params.npz")
+    if not os.path.exists(fix):
+        import pytest
+        pytest.skip("parity fixture not built")
+    data = np.load(fix)
+    tree = {}
+    for key in data.files:
+        node, parts = tree, key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    variables = {"params": tree["params"],
+                 "batch_stats": tree["batch_stats"]}
+    rng = np.random.default_rng(5)
+    # fixture-task-like input: blobs on noise (real margins only exist
+    # in-distribution)
+    x = np.asarray(rng.normal(0.0, 0.3, (1, 8, 24, 16, 4)), np.float32)
+    zz, yy, xx = np.ogrid[:8, :24, :16]
+    blob = ((zz - 4) ** 2 + (yy - 10) ** 2 + (xx - 8) ** 2) < 9
+    x[0][blob] += np.asarray([1.0, 0.4, 0.4, 0.0], np.float32)
+    x = jnp.asarray(x)
+    base = UNet3D(out_channels=4, features=(32,), dtype=jnp.bfloat16)
+    fast = UNet3D(out_channels=4, features=(32,), dtype=jnp.bfloat16,
+                  ps2d_eval=True)
+    ref = np.asarray(base.apply(variables, x, train=False)["logits"])
+    out = np.asarray(fast.apply(variables, x, train=False)["logits"])
+    d = np.abs(out - ref)
+    scale = np.abs(ref).max()
+    assert d.max() <= 2 ** -5 * max(scale, 1.0), (d.max(), scale)
+    # real-margin contract: trained margins dwarf the drift (median
+    # margin ~7.8 logits vs max drift ~0.1), so labels may differ ONLY
+    # at genuine decision-boundary voxels (margin inside the drift
+    # envelope) — in practice <=1 voxel of 3072 here, vs ~1% at
+    # random init. Any flip at a wide margin is a real defect.
+    top2 = np.sort(ref, axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    assert np.median(margin) > 2.0, np.median(margin)  # fixture sane
+    dis = out.argmax(-1) != ref.argmax(-1)
+    assert dis.mean() <= 1e-3, dis.mean()
+    assert not (dis & (margin > 2 * d.max())).any(), (
+        margin[dis].max(), d.max())
+
+
 def test_pool_into_flat_matches_xla_chain():
     """Fused pool kernel (flat level-L -> flat level-(L+1)) == the
     exact XLA chain normal_to_flat(max_pool3d_from_flat(...)), bit-
