@@ -54,28 +54,52 @@ def main():
                                       scheduler="constant"),
         use_tensorboard=False, batch_size=2)
 
-    # Mixed-burden cohort spanning the clinical grade ladder
-    # (grade_from_volume thresholds 0.1/1/5%): the default reference
-    # geometry only reaches ~0.1-0.7% burden (grade 0/1), which made
-    # the val grade distribution degenerate. Three radius bands at the
-    # 96x96x64 generation grid land in the three tumor-bearing grades;
-    # the 20% tumor_prob miss rate supplies grade 0.
+    # STRATIFIED cohort spanning the clinical grade ladder
+    # (grade_from_volume thresholds 0.1/1/5%). The round-4 version drew
+    # tumor presence stochastically (tumor_prob=0.8) over three bands;
+    # the 6-case val split came out [1,1,0,0,0,3] — no grade 2, half
+    # grade 0 — and train held only TWO grade-0 examples, so a head
+    # collapsing to constant train-majority predictions scored EXACTLY
+    # 0.000 on val for 15 epochs (the r4 stall; diagnosis journal:
+    # benchmarks/r5_logs_cpu_qjoint_diag.log). Four deterministic
+    # bands, one per grade, balance BOTH splits: the per-band 80/20
+    # index split lands each band's tail in val. Radius bands are
+    # chosen off the ladder boundaries (0.1/1/5% of the 96x96x64 grid
+    # = r 5.2/11.2/19.2): 6-9 -> grade 1, 12-16 -> grade 2,
+    # 21-25 -> grade 3.
     data_dir = tempfile.mkdtemp(prefix="quality_joint_")
-    third = max(args.samples // 3, 1)
-    bands = [(None, 0), ((11, 17), third), ((20, 26), 2 * third)]
-    for band, start in bands:
-        # clamp each band to the remaining budget so --samples < 3
-        # still generates exactly args.samples cases
-        n = min(third, args.samples - start) if start < 2 * third \
-            else args.samples - 2 * third
+    quarter = max(args.samples // 4, 1)
+    bands = [(None, 0.0, 0), ((6, 10), 1.0, quarter),
+             ((12, 17), 1.0, 2 * quarter), ((21, 26), 1.0, 3 * quarter)]
+    for band, tumor_prob, start in bands:
+        n = min(quarter, args.samples - start) if start < 3 * quarter \
+            else args.samples - 3 * quarter
         if n <= 0:
             continue
         data.create_enhanced_synthetic_data(
             n, data_dir, shape=(96, 96, 64), seed=11 + start,
-            size_range=band, start_index=start)
+            size_range=band, tumor_prob=tumor_prob, start_index=start)
     train_loader, val_loader = data.create_brats_data_loaders(
         data_dir, batch_size=2, num_workers=2, image_size=size,
         aug_cfg=cfg.augment)
+
+    # split-composition guard (the r4 stall was invisible for a whole
+    # round because nobody printed this): fail fast on a degenerate val
+    total_vox = int(np.prod(size))
+    def split_hist(loader):
+        gs = []
+        for b in loader:
+            m = np.asarray(b["mask"])
+            g = joint.grade_from_volume(
+                jnp.asarray((m > 0).sum(axis=(1, 2, 3))), total_vox)
+            gs += np.asarray(g).tolist()
+        return np.bincount(gs, minlength=4)
+    tr_hist, va_hist = split_hist(train_loader), split_hist(val_loader)
+    print(f"grade histogram  train {tr_hist.tolist()}  "
+          f"val {va_hist.tolist()}", flush=True)
+    if (va_hist == 0).any():
+        print("WARNING: val split is missing a grade — accuracy on it "
+              "cannot reach a fair ceiling", flush=True)
 
     model = joint.UNet3DWithClassifier(
         out_channels=4, features=tuple(args.features),

@@ -32,8 +32,21 @@ sys.path.insert(0, "/root/repo")
 import os  # noqa: E402
 
 data_dir = "/root/repo/.et_check_r4b_data"
-if not (os.path.isdir(data_dir)
-        and sum(1 for e in os.scandir(data_dir) if e.is_dir())):
+
+
+def _case_count(d):
+    # count CASES below the split dirs — counting the split dirs
+    # themselves (the r4 bug, VERDICT r4 weak #6) would silently reuse
+    # a partially-generated cohort
+    n = 0
+    for split in ("train", "val"):
+        sd = os.path.join(d, split)
+        if os.path.isdir(sd):
+            n += sum(1 for e in os.scandir(sd) if e.is_dir())
+    return n
+
+
+if _case_count(data_dir) < 16:
     from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data import (  # noqa: E402,E501
         create_enhanced_synthetic_data)
     create_enhanced_synthetic_data(16, data_dir, shape=(96, 96, 64),

@@ -61,6 +61,45 @@ def save_checkpoint(path: str, state: TrainState,
     return path
 
 
+def archive_existing(path: str) -> Optional[str]:
+    """Move an existing checkpoint directory to a timestamped archive
+    sibling (``<parent>/archive/<name>_<ts>/``) and write-protect it.
+
+    Loss-proofing for save-on-best: a NEW run whose experiment name
+    collides with a previous run's must not clobber that run's best
+    checkpoint (the round-4 incident: a side experiment using the
+    default name destroyed the strongest quality artifact in the repo).
+    The move is a rename — no copy cost — and the archive is chmod'd
+    read-only so a buggy path join can't truncate it either.
+
+    Returns the archive path, or None when ``path`` has no checkpoint.
+    """
+    path = _ckpt_dir(path)
+    if not os.path.isdir(os.path.join(path, "state")):
+        return None
+    import shutil
+    import time
+
+    parent = os.path.dirname(path)
+    name = os.path.basename(path.rstrip(os.sep))
+    archive_root = os.path.join(parent, "archive")
+    os.makedirs(archive_root, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    dest = os.path.join(archive_root, f"{name}_{ts}")
+    n = 0
+    while os.path.exists(dest):          # same-second collisions
+        n += 1
+        dest = os.path.join(archive_root, f"{name}_{ts}_{n}")
+    shutil.move(path, dest)
+    for root, dirs, files in os.walk(dest, topdown=False):
+        for f in files:
+            os.chmod(os.path.join(root, f), 0o444)
+        for d in dirs:
+            os.chmod(os.path.join(root, d), 0o555)
+    os.chmod(dest, 0o555)
+    return dest
+
+
 def _saved_tree_keys(state_dir: str):
     """Top-level keys of an on-disk checkpoint pytree (for deciding
     whether it carries ``ema_params`` before building a restore

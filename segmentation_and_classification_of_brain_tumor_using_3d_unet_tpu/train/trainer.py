@@ -139,11 +139,14 @@ class ModernBrainTumorTrainer:
 
     _pending_resume: Optional[str] = None
     _saved_any: bool = False
+    _resumed_from: Optional[str] = None
+    _collision_guarded: bool = False
 
     def load_checkpoint(self, path: str) -> None:
         """Queue a resume; applied when the state is first built
         (parity with ``--resume``, reference ``train_model.py:185-190``)."""
         self._pending_resume = path
+        self._resumed_from = os.path.abspath(path)
 
     # ------------------------------------------------------------------
     # epoch loops
@@ -302,6 +305,18 @@ class ModernBrainTumorTrainer:
 
     def save_model(self, epoch: int = 0, path: Optional[str] = None) -> str:
         path = path or self._ckpt_path()
+        # collision guard (round-4 incident): the FIRST save of this
+        # run must not clobber a previous run's best checkpoint at the
+        # same name — move it to a write-protected timestamped archive
+        # (a resume continuing the same checkpoint is exempt).
+        if not self._collision_guarded:
+            self._collision_guarded = True
+            if os.path.abspath(path) != (self._resumed_from or ""):
+                archived = checkpoints.archive_existing(path)
+                if archived:
+                    logger.info(
+                        "experiment-name collision: previous checkpoint "
+                        "archived to %s", archived)
         os.makedirs(path, exist_ok=True)
         return checkpoints.save_checkpoint(
             path, self.state, self.best_dice, epoch, self.metrics_history)

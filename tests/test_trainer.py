@@ -566,3 +566,57 @@ def test_empty_validation_split_disables_early_stopping(tmp_path):
     hist = t.train(train_loader, val_loader, 3)
     assert len(hist["train_loss"]) == 3      # not stopped at patience=1
     assert os.path.isdir(t._ckpt_path())     # final weights saved
+
+
+def test_checkpoint_collision_archives_previous(brats_dir, tmp_path):
+    """Loss-proofing (the round-4 incident): a SECOND run whose
+    experiment name collides with a previous run's best checkpoint must
+    archive the old checkpoint — never clobber it — while a resume of
+    the same checkpoint continues in place."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train import (
+        checkpoints)
+
+    cfg = tiny_config(models_dir=str(tmp_path / "models"),
+                      results_dir=str(tmp_path / "results"), epochs=1)
+    train_loader, val_loader = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+
+    t1 = ModernBrainTumorTrainer(
+        model, learning_rate=1e-3, experiment_name="collide",
+        config=cfg, hausdorff_every=100)
+    t1.train(train_loader, val_loader, num_epochs=1)
+    ckpt = t1._ckpt_path()
+    assert os.path.isdir(os.path.join(ckpt, "state"))
+    first_params, _ = checkpoints.load_inference_weights(ckpt)
+
+    # second run, SAME experiment name: previous best must be archived
+    t2 = ModernBrainTumorTrainer(
+        model, learning_rate=1e-3, experiment_name="collide",
+        config=cfg, hausdorff_every=100)
+    t2.train(train_loader, val_loader, num_epochs=1)
+    archive_root = os.path.join(os.path.dirname(ckpt), "archive")
+    archived = [d for d in os.listdir(archive_root)
+                if d.startswith("best_collide_")]
+    assert archived, "previous best was not archived"
+    arch_path = os.path.join(archive_root, archived[0])
+    # archived copy is intact and readable
+    arch_params, _ = checkpoints.load_inference_weights(arch_path)
+    a = jax.tree_util.tree_leaves(first_params)
+    b = jax.tree_util.tree_leaves(arch_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # and write-protected (mode bits — os.access lies under root)
+    mode = os.stat(os.path.join(arch_path, "trainer_meta.json")).st_mode
+    assert not (mode & 0o222)
+
+    # third run RESUMING the live checkpoint: no new archive entry
+    t3 = ModernBrainTumorTrainer(
+        model, learning_rate=1e-3, experiment_name="collide",
+        config=cfg, hausdorff_every=100)
+    t3.load_checkpoint(ckpt)
+    t3.train(train_loader, val_loader, num_epochs=1)
+    after = [d for d in os.listdir(archive_root)
+             if d.startswith("best_collide_")]
+    assert after == archived, "resume must not archive its own checkpoint"
