@@ -16,8 +16,15 @@ import sys
 import tempfile
 import time
 
+import os
+
 import jax
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container sitecustomize pre-imports jax on the axon TPU
+    # backend; the env var alone does not stick (CLAUDE.md) — re-assert
+    # before any device query so CPU fallback runs work
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 sys.path.insert(0, "/root/repo")
 
@@ -31,6 +38,10 @@ def main():
                     default=(16, 32, 64, 128))
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cls_weight", type=float, default=0.5)
+    ap.add_argument("--save_ckpt", default="results/models/best_quality_joint",
+                    help="save-on-best joint checkpoint (adoptable by "
+                         "serve/predict via adopt_trained_weights); "
+                         "'none' disables")
     args = ap.parse_args()
 
     import dataclasses
@@ -127,8 +138,15 @@ def main():
 
     t0 = time.time()
     best_acc, best_dice, accs = 0.0, 0.0, []
+    best_score = -1.0
     confusion = np.zeros((4, 4), np.int64)
     key = jax.random.PRNGKey(1)
+    ckpt_mod = (import_module(pkg + ".train.checkpoints")
+                if args.save_ckpt != "none" else None)
+    if ckpt_mod is not None:
+        # collision guard (round-4 incident): never clobber a previous
+        # run's best — archive it first
+        ckpt_mod.archive_existing(args.save_ckpt)
     for epoch in range(args.epochs):
         tr_acc = []
         for batch in train_loader:
@@ -152,6 +170,15 @@ def main():
             np.add.at(confusion, (gts, preds), 1)
         best_acc, best_dice = max(best_acc, acc), max(best_dice, vdice)
         accs.append(acc)
+        score = acc + vdice          # joint selection: both heads matter
+        if ckpt_mod is not None and score > best_score:
+            best_score = score
+            import os as _os
+            _os.makedirs(args.save_ckpt, exist_ok=True)
+            ckpt_mod.save_checkpoint(
+                args.save_ckpt, state, best_dice=vdice, epoch=epoch,
+                metrics_history={"val_grade_acc": accs,
+                                 "val_dice": [vdice]})
         if epoch % 5 == 0 or epoch == args.epochs - 1:
             print(f"epoch {epoch:3d}  train grade acc "
                   f"{float(np.mean([float(a) for a in tr_acc])):.3f}  "
@@ -166,9 +193,9 @@ def main():
         print("  " + " ".join(f"{int(c):4d}" for c in row))
     try:                                   # heatmap artifact (VERDICT)
         viz = import_module(pkg + ".utils.visualization")
-        out_png = "benchmarks/r4_logs/quality_joint_confusion.png"
+        out_png = "benchmarks/r5_logs/quality_joint_confusion.png"
         import os
-        os.makedirs("benchmarks/r4_logs", exist_ok=True)
+        os.makedirs("benchmarks/r5_logs", exist_ok=True)
         viz.ModernMedicalVisualizer().create_performance_heatmap(
             confusion,
             class_names=["grade 0", "grade 1", "grade 2", "grade 3"],

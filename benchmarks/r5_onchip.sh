@@ -29,6 +29,10 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "=== $name rc=$? end $(date -u +%H:%M:%S)" >> "$L/driver.log"
 }
 
+# the 1-CPU host must feed the device loader: stop any CPU quality
+# fallback BEFORE the chip program starts (its value is superseded)
+[ -f /tmp/r5_cpu_quality.pid ] && kill "$(cat /tmp/r5_cpu_quality.pid)" 2>/dev/null
+
 # --- Phase A: the unmeasured r3+r4 kernel program, in value order ---
 # 1. headline (ps2d default-off) + on-chip ps2d exactness artifact
 step base_check 2400 python bench.py --check_ps2d --verbose
@@ -58,7 +62,7 @@ touch /tmp/r5_onchip.done
 # --- Phase B: quality, budgeted to the deadline ---
 # grade-classification accuracy vs the paper's 90% claim (run AFTER
 # the r5 stall diagnosis/fix lands in benchmarks/quality_joint.py)
-step quality_joint 7200 python benchmarks/quality_joint.py
+step quality_joint 7200 python benchmarks/quality_joint.py --samples 40 --epochs 120
 # flagship 96^3 long run FROM SCRATCH on the learnable-ET cohort;
 # trainer banks save-on-best checkpoints + history, timeout loses
 # nothing. Stop any CPU fallback first (the 1-CPU host must feed the

@@ -42,6 +42,20 @@ class UNet3DWithClassifier(nn.Module):
             fast=self.fast, name="unet")(x, train=train)
 
         h = global_avg_pool(out["bottleneck"], keepdims=False)  # (B, C)
+        # Predicted-burden features: tumor grade is a burden property
+        # (grade_from_volume's clinical volume ladder), and the model's
+        # own segmentation posterior already estimates burden — read it.
+        # log-scale because the ladder thresholds (0.1/1/5%) are
+        # log-spaced: one linear layer on log-burden can realise the
+        # ladder exactly once the seg head is decent. stop_gradient
+        # keeps noisy early grade-CE gradients out of the decoder (the
+        # trunk still receives grade gradient through the GAP branch).
+        probs = jax.nn.softmax(
+            jax.lax.stop_gradient(out["logits"]).astype(jnp.float32),
+            axis=-1)
+        burden = jnp.mean(probs[..., 1:], axis=(1, 2, 3))   # (B, C-1)
+        burden_feats = jnp.log(burden + 1e-6).astype(h.dtype)
+        h = jnp.concatenate([h, burden_feats], axis=-1)
         h = nn.relu(nn.Dense(256, dtype=self.dtype,
                              param_dtype=self.param_dtype,
                              name="grade_fc1")(h))
