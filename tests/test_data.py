@@ -415,3 +415,37 @@ def test_abandoned_loader_does_not_deadlock_producer(tmp_path):
             break
         _time.sleep(0.25)
     assert not extra, f"leaked threads: {extra}"
+
+
+def test_stratified_band_cohort_covers_all_grades(tmp_path):
+    """The r4 grade-accuracy stall was a degenerate val split (no
+    grade 2, half grade 0) from stochastic tumor presence. The r5
+    recipe — one deterministic band per grade, tumor_prob 0/1 —
+    must put every grade in BOTH splits (the per-band 80/20 index
+    split lands each band's tail in val)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.data.dataset import (
+        BraTS2024Dataset)
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.models.joint import (
+        grade_from_volume)
+
+    d = str(tmp_path / "cohort")
+    shape = (96, 96, 64)
+    # grade bands at this grid (ladder 0.1/1/5% -> r 5.2/11.2/19.2)
+    bands = [(None, 0.0, 0), ((6, 10), 1.0, 8),
+             ((12, 17), 1.0, 16), ((21, 26), 1.0, 24)]
+    for band, p, start in bands:
+        create_enhanced_synthetic_data(
+            8, d, shape=shape, seed=11 + start, size_range=band,
+            tumor_prob=p, start_index=start)
+
+    total = int(np.prod(shape))
+    for mode in ("train", "val"):
+        ds = BraTS2024Dataset(d, mode=mode, augment=False)
+        grades = []
+        for i in range(len(ds)):
+            s = ds[i]
+            burden = int((np.asarray(s["mask"]) > 0).sum())
+            grades.append(int(grade_from_volume(
+                jnp.asarray(burden), total)))
+        hist = np.bincount(grades, minlength=4)
+        assert (hist > 0).all(), f"{mode} split missing a grade: {hist}"
