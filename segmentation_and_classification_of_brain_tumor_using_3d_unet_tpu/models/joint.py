@@ -50,11 +50,19 @@ class UNet3DWithClassifier(nn.Module):
         # ladder exactly once the seg head is decent. stop_gradient
         # keeps noisy early grade-CE gradients out of the decoder (the
         # trunk still receives grade gradient through the GAP branch).
-        probs = jax.nn.softmax(
-            jax.lax.stop_gradient(out["logits"]).astype(jnp.float32),
-            axis=-1)
+        logits_sg = jax.lax.stop_gradient(out["logits"]).astype(
+            jnp.float32)
+        probs = jax.nn.softmax(logits_sg, axis=-1)
         burden = jnp.mean(probs[..., 1:], axis=(1, 2, 3))   # (B, C-1)
-        burden_feats = jnp.log(burden + 1e-6).astype(h.dtype)
+        # decision burden: foreground fraction of the model's own
+        # argmax mask — the EXACT quantity grade_from_volume ladders
+        # on the GT mask, so with good segmentation one threshold
+        # feature decides the grade
+        hard = jnp.mean((jnp.argmax(logits_sg, -1) > 0).astype(
+            jnp.float32), axis=(1, 2, 3))[:, None]          # (B, 1)
+        burden_feats = jnp.log(
+            jnp.concatenate([burden, hard], axis=-1) + 1e-6
+        ).astype(h.dtype)
         h = jnp.concatenate([h, burden_feats], axis=-1)
         h = nn.relu(nn.Dense(256, dtype=self.dtype,
                              param_dtype=self.param_dtype,
