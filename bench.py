@@ -85,6 +85,28 @@ def acquire_device_or_exit(timeout_s: float) -> None:
         sys.exit(1)
 
 
+def ps2d_measured_default(path=None):
+    """Measured default for the ps2d flat-resident region.
+
+    ``benchmarks/ps2d_decision.json`` is written by the on-chip A/B
+    settle step (``benchmarks/r5_settle_ps2d.py``) once BOTH arms have
+    real-chip numbers and the on-chip exactness artifact passed; until
+    then the conservative default is OFF (interpret-mode tests alone
+    don't earn a default flip — VERDICT r4 item 1). Returns
+    ``(use_ps2d, ps2d_levels, env_overrides)``.
+    """
+    p = path or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "ps2d_decision.json")
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        return (bool(d.get("default_ps2d", False)),
+                int(d.get("ps2d_levels", 1)),
+                {str(k): str(v) for k, v in dict(d.get("env", {})).items()})
+    except (OSError, ValueError, TypeError):
+        return False, 1, {}
+
+
 def make_volume(rng: np.random.Generator, realistic: bool) -> np.ndarray:
     """One (240, 240, 155, 4) float32 volume.
 
@@ -203,7 +225,18 @@ def main():
     # s2d measured and loses on this libtpu (8.42 vs 10.78 vol/s —
     # benchmarks/RESULTS.md s2d section); default stays OFF.
     use_s2d = False if args.s2d is None else args.s2d
-    use_ps2d = False if args.ps2d is None else args.ps2d
+    if args.ps2d is None:
+        use_ps2d, dec_levels, dec_env = ps2d_measured_default()
+        if use_ps2d:
+            if args.ps2d_levels == 1:      # CLI left at its default
+                args.ps2d_levels = dec_levels
+            os.environ.update(dec_env)
+            if args.verbose:
+                print(f"[bench] ps2d default ON (measured decision: "
+                      f"levels={args.ps2d_levels} env={dec_env})",
+                      file=sys.stderr)
+    else:
+        use_ps2d = args.ps2d
     model = UNet3D(out_channels=4, dtype=jnp.bfloat16, remat=False,
                    s2d_eval=use_s2d, ps2d_eval=use_ps2d,
                    ps2d_levels=args.ps2d_levels)

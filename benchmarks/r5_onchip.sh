@@ -48,6 +48,17 @@ step ps2d_l2 2400 python bench.py --ps2d --ps2d_levels 2 --verbose
 step ps2d_l2_pool 2400 env SEG3D_POOL_FUSED=1 python bench.py --ps2d --ps2d_levels 2 --verbose
 # 3c. + relaxed W2%8 gates: level-1 up conv takes the fused kernel too
 step ps2d_l2_full 2400 env SEG3D_POOL_FUSED=1 SEG3D_PS2D_RELAXED=1 python bench.py --ps2d --ps2d_levels 2 --verbose
+# 3d. settle the ps2d default from the A/B just banked: writes
+#     benchmarks/ps2d_decision.json (consulted by bench.py when no
+#     --ps2d flag is given) + a RESULTS.md row, so the driver's
+#     end-of-round bench.py runs the winning config automatically.
+step settle_ps2d 300 python benchmarks/r5_settle_ps2d.py
+# the settled default, as the driver will see it
+step final_headline 1200 python bench.py --verbose
+git add -A benchmarks/r5_logs benchmarks/ps2d_decision.json \
+  benchmarks/RESULTS.md 2>/dev/null
+git commit -q -m "Bank r5 on-chip headline + ps2d A/B; settle ps2d default" \
+  2>/dev/null || true
 # 4. training-step A/B: custom_vjp ps2d kernels vs zcat (247.2 ms ref)
 step train_base 2400 python benchmarks/train_bench.py --no_remat
 step train_ps2d 2400 python benchmarks/train_bench.py --no_remat --ps2d
@@ -57,6 +68,9 @@ step e2e_nii 3000 python bench.py --e2e 16 --e2e_only --e2e_fmt nii --verbose
 step e2e_npy 3000 python bench.py --e2e 16 --e2e_only --e2e_fmt npy --verbose
 
 echo "=== phase A complete $(date -u +%H:%M:%S)" >> "$L/driver.log"
+git add -A benchmarks/r5_logs 2>/dev/null
+git commit -q -m "Bank r5 on-chip train A/B + e2e ladder logs" \
+  2>/dev/null || true
 touch /tmp/r5_onchip.done
 
 # --- Phase B: quality, budgeted to the deadline ---
@@ -71,3 +85,5 @@ step quality_joint 7200 python benchmarks/quality_joint.py --samples 40 --epochs
 step quality_long 36000 python benchmarks/convergence_check.py --long \
   --data_dir /root/repo/.quality_data_r4 --epochs 200
 echo "=== phase B complete $(date -u +%H:%M:%S)" >> "$L/driver.log"
+git add -A benchmarks/r5_logs results/history 2>/dev/null
+git commit -q -m "Bank r5 on-chip quality-run logs" 2>/dev/null || true
