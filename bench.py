@@ -404,16 +404,34 @@ def run_check_ps2d(variables, work0, work_shape):
         variables, x)
     lf = jax.jit(lambda v, a: flat.apply(v, a, train=False)["logits"])(
         variables, x)
-    drift = float(jnp.max(jnp.abs(lb - lf)))
-    dis = float(jnp.mean((jnp.argmax(lb, -1) != jnp.argmax(lf, -1))
-                         .astype(jnp.float32)))
+    lb_np = np.asarray(lb, np.float32)
+    lf_np = np.asarray(lf, np.float32)
+    d = np.abs(lb_np - lf_np)
+    drift = float(d.max())
+    scale = float(np.abs(lb_np).max())
+    # the same margin-envelope contract the test suite uses
+    # (tests/test_ps2d.py:test_trained_checkpoint_parity): bf16
+    # reassociation drift may only flip labels at genuine decision-
+    # boundary voxels (class margin inside 2x the drift envelope);
+    # a flip at a wide margin is a real kernel defect. Drift itself
+    # is judged relative to the logit scale, not absolutely.
+    top2 = np.sort(lb_np, axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    dis_mask = lb_np.argmax(-1) != lf_np.argmax(-1)
+    dis = float(dis_mask.mean())
+    wide_flips = int((dis_mask & (margin > 2 * drift)).sum())
     print(json.dumps({
         "metric": "ps2d exactness (max |logit drift| vs base, same "
                   "params, shape %s)" % (shape,),
         "value": round(drift, 6),
         "unit": "logit",
+        "logit_scale": round(scale, 4),
+        "rel_drift": round(drift / max(scale, 1e-9), 6),
+        "mean_rel_drift": round(float(d.mean()) / max(scale, 1e-9), 8),
         "argmax_disagree_frac": round(dis, 6),
-        "ok": bool(drift < 2 ** -4 and dis < 0.01),
+        "wide_margin_flips": wide_flips,
+        "ok": bool(drift <= 2 ** -5 * max(scale, 1.0)
+                   and dis < 0.01 and wide_flips == 0),
     }))
 
 

@@ -59,7 +59,8 @@ def headline(step):
     """vol/s from a bench step's stdout, or None if absent/errored."""
     best = None
     for d in json_lines(os.path.join(LOGS, step + ".out")):
-        if d.get("metric") == "volumes/sec/chip" and "error" not in d:
+        if (str(d.get("metric", "")).startswith("volumes/sec/chip")
+                and "error" not in d):
             v = float(d.get("value", 0.0))
             if v > 0 and (best is None or v > best):
                 best = v

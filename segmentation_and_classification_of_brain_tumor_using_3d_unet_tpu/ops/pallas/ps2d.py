@@ -751,7 +751,11 @@ def ps2d_conv3d_flat_multi(xfs, w: jax.Array, plan: PS2DPlan,
             + 3 * (GUARD + (p.Hb + 1) * p.P) * p.N4 * 4  # ybuf + temps
             + 2 * (p.Hb * p.P + 3 * p.P) * p.N4 * 2 * 2  # ostages x2
             + (4 * (p.Hb + 2) * p.P * p.C4s[0] * 2 if has_mul0 else 0))
-    vmem_limit = max(int(vmem_limit), int(need * 1.2))
+    # +4 MiB flat headroom: Mosaic's stack allocator rounds each buffer
+    # to tile-aligned extents and adds dot temporaries the closed-form
+    # estimate can't see — on-chip the dec3/level-1 shape came out 83 KB
+    # (~0.2%) over the 1.2x'd estimate (r5 ps2d_l2 log).
+    vmem_limit = max(int(vmem_limit), int(need * 1.2) + (4 << 20))
     out_shape = jax.ShapeDtypeStruct((B, D, RT, p.N4), dt)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     if emit_stats:

@@ -28,7 +28,12 @@ def _write_step(logs, name, vol_s=None, extra_lines=()):
     lines = ["some stderr-ish text that is not json"]
     if vol_s is not None:
         lines.append(json.dumps({
-            "metric": "volumes/sec/chip", "value": vol_s,
+            # the REAL bench emits the long descriptive metric string —
+            # the settle parser must prefix-match (r5 on-chip incident:
+            # an exact match returned no base measurement)
+            "metric": "volumes/sec/chip (240x240x155 skull-stripped "
+                      "MRI, foreground-crop + Gaussian sliding-window "
+                      "inference, UNet3D bf16)", "value": vol_s,
             "unit": "volumes/sec", "vs_baseline": vol_s / 20.0}))
     lines.extend(extra_lines)
     with open(os.path.join(logs, name + ".out"), "w") as f:
