@@ -67,10 +67,22 @@ def headline(step):
     return best
 
 
-def exactness_ok():
-    for d in json_lines(os.path.join(LOGS, "base_check.out")):
-        if str(d.get("metric", "")).startswith("ps2d exactness"):
+def exactness_ok(levels=1):
+    """Exactness verdict for the flat region at the GIVEN depth.
+
+    bench.py --check_ps2d emits one margin-envelope line per level
+    ("ps2d exactness levels=N ..."); older logs carry a single
+    untagged line, which covered levels=1 only.
+    """
+    lines = json_lines(os.path.join(LOGS, "base_check.out"))
+    tagged = "ps2d exactness levels=%d" % levels
+    for d in lines:
+        if str(d.get("metric", "")).startswith(tagged):
             return bool(d.get("ok", False)), d
+    if levels == 1:
+        for d in lines:
+            if str(d.get("metric", "")).startswith("ps2d exactness ("):
+                return bool(d.get("ok", False)), d
     return False, None
 
 
@@ -81,22 +93,34 @@ def main():
         if v is not None and (base is None or v > base):
             base = v
     measured = {}
-    best_name, best_v = None, None
     for name, cfg in CANDIDATES:
         v = headline(name)
-        if v is None:
-            continue
-        measured[name] = v
-        if best_v is None or v > best_v:
-            best_name, best_v = name, v
+        if v is not None:
+            measured[name] = v
 
-    ok, exact = exactness_ok()
-
-    if base is None or best_v is None:
+    if base is None or not measured:
         print(json.dumps({"settled": False,
                           "reason": "missing base or ps2d measurement",
                           "base": base, "measured": measured}))
         return 1
+
+    # fastest candidate whose OWN flat-region depth passes the
+    # margin-envelope exactness gate; a faster-but-drifting levels=2
+    # must not block a passing levels=1 win
+    best_name, best_v, ok, exact = None, None, False, None
+    for name, _ in sorted(CANDIDATES,
+                          key=lambda nc: -measured.get(nc[0], -1.0)):
+        if name not in measured:
+            continue
+        lv = dict(CANDIDATES)[name]["ps2d_levels"]
+        lv_ok, lv_exact = exactness_ok(lv)
+        if best_name is None:       # remember the raw fastest for logs
+            best_name, best_v, ok, exact = (name, measured[name],
+                                            lv_ok, lv_exact)
+        if lv_ok:
+            best_name, best_v, ok, exact = (name, measured[name],
+                                            True, lv_exact)
+            break
 
     win = ok and best_v > base * MARGIN
     cfg = dict(CANDIDATES)[best_name]

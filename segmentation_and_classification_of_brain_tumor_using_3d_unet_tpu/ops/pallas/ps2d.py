@@ -299,8 +299,15 @@ def _pool_flat_kernel(x_ref, o_ref, *, P0: int, H21: int, W21: int,
     mv = m.reshape(m.shape[0] // P0, P0, cp)
     for ph in range(2):
         for pw in range(2):
-            blk = mv[ph + 1:ph + 1 + 2 * H21:2,
-                     pw + 1:pw + 1 + 2 * W21:2, :]       # (H21,W21,cp)
+            # stride-2 phase pick WITHOUT a strided slice: Mosaic
+            # lowers multi-dim strided slices to gathers and only
+            # supports 2D gather (r5 on-chip ps2d_l2_pool log). A
+            # contiguous slice + pair-split reshape + static index 0
+            # selects the same rows/cols as pure slice/reshape ops.
+            t = mv[ph + 1:ph + 1 + 2 * H21,
+                   pw + 1:pw + 1 + 2 * W21, :]   # (2H21, 2W21, cp)
+            blk = t.reshape(H21, 2, 2 * W21, cp)[:, 0]
+            blk = blk.reshape(H21, W21, 2, cp)[:, :, 0]  # (H21,W21,cp)
             q = 2 * ph + pw
             o_ref[0, 0, 1:H21 + 1, 1:W21 + 1,
                   q * cp:(q + 1) * cp] = blk

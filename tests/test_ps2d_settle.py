@@ -40,10 +40,13 @@ def _write_step(logs, name, vol_s=None, extra_lines=()):
         f.write("\n".join(lines) + "\n")
 
 
-def _exactness_line(ok=True, drift=0.004):
+def _exactness_line(ok=True, drift=0.004, levels=None):
+    """levels=None emits the legacy untagged line (covers levels=1
+    only); the current bench emits one tagged line per level."""
+    tag = "" if levels is None else " levels=%d" % levels
     return json.dumps({
-        "metric": "ps2d exactness (max |logit drift| vs base, same "
-                  "params, shape (160, 160, 160))",
+        "metric": "ps2d exactness%s (max |logit drift| vs base, same "
+                  "params, shape (160, 160, 160))" % tag,
         "value": drift, "unit": "logit",
         "argmax_disagree_frac": 0.0, "ok": ok})
 
@@ -62,7 +65,8 @@ def settle_env(tmp_path):
 def test_settle_win_flips_default_on(settle_env):
     mod, logs = settle_env
     _write_step(logs, "base_check", 10.5,
-                extra_lines=[_exactness_line(ok=True)])
+                extra_lines=[_exactness_line(ok=True, levels=1),
+                             _exactness_line(ok=True, levels=2)])
     _write_step(logs, "base2", 10.78)
     _write_step(logs, "ps2d2", 12.4)
     _write_step(logs, "ps2d_l2", 13.1)
@@ -79,12 +83,45 @@ def test_settle_win_flips_default_on(settle_env):
         assert "DEFAULT ON" in f.read()
 
 
+def test_settle_drifting_l2_falls_back_to_passing_l1(settle_env):
+    # levels=2 is fastest but fails its own margin-envelope gate:
+    # settle must default to the fastest PASSING config, not fail
+    # the whole win
+    mod, logs = settle_env
+    _write_step(logs, "base_check", 10.5,
+                extra_lines=[_exactness_line(ok=True, levels=1),
+                             _exactness_line(ok=False, levels=2)])
+    _write_step(logs, "base2", 10.78)
+    _write_step(logs, "ps2d2", 12.4)
+    _write_step(logs, "ps2d_l2", 13.1)
+    assert mod.main() == 0
+    with open(mod.DECISION) as f:
+        d = json.load(f)
+    assert d["default_ps2d"] is True
+    assert d["ps2d_levels"] == 1
+    assert d["evidence"]["best_ps2d_step"] == "ps2d2"
+
+
+def test_settle_legacy_untagged_line_covers_levels1(settle_env):
+    # pre-r5-fixup logs carry a single untagged exactness line — it
+    # must still gate levels=1 candidates
+    mod, logs = settle_env
+    _write_step(logs, "base_check", 10.5,
+                extra_lines=[_exactness_line(ok=True)])
+    _write_step(logs, "ps2d2", 12.4)
+    assert mod.main() == 0
+    with open(mod.DECISION) as f:
+        d = json.load(f)
+    assert d["default_ps2d"] is True and d["ps2d_levels"] == 1
+
+
 def test_settle_env_opt_ins_survive_into_decision(settle_env):
     mod, logs = settle_env
     _write_step(logs, "base2", 10.0,
                 extra_lines=[])
     _write_step(logs, "base_check", 9.9,
-                extra_lines=[_exactness_line(ok=True)])
+                extra_lines=[_exactness_line(ok=True, levels=1),
+                             _exactness_line(ok=True, levels=2)])
     _write_step(logs, "ps2d_l2_full", 14.0)
     assert mod.main() == 0
     with open(mod.DECISION) as f:
