@@ -201,6 +201,14 @@ def main():
                          "and crop windows touch pages)")
     ap.add_argument("--e2e_workers", type=int, default=2,
                     help="host decode threads for --e2e")
+    ap.add_argument("--e2e_ship", choices=("u8", "bf16"), default="u8",
+                    help="H2D wire format for --e2e. 'u8': per-modality "
+                         "affine-quantized uint8 (half the bf16 bytes "
+                         "over the ~35 MB/s attach tunnel), dequantized "
+                         "on device before the usual clip+z-score; "
+                         "self-gated by a case-0 label-agreement check "
+                         "against the bf16 path (falls back below "
+                         "99.9%). 'bf16': lossless ship")
     ap.add_argument("--check_ps2d", action="store_true",
                     help="ALSO assert ps2d-vs-base exactness on the "
                          "fixture volume (on-chip repeatable artifact); "
@@ -502,16 +510,27 @@ def run_e2e(args, variables, apply_fn):
         print(f"# e2e fixture: {len(cases)} cases ({args.e2e_fmt}) in "
               f"{time.time() - t0:.0f}s", file=sys.stderr)
 
-    def decode(case, bucket):
-        """One case -> (bucket-shaped crop, offsets). The bbox is
-        planned from the FIRST modality (BraTS volumes share one
-        skull-strip mask, so the foreground support is identical across
-        modalities) and each modality is cropped straight into the
-        output buffer — the naive stack-then-crop path costs ~4s/case
-        of pure memory traffic on this 1-CPU host."""
+    def decode(case, bucket, ship):
+        """One case -> (bucket-shaped crop, per-modality quant params,
+        offsets). The bbox is planned from the FIRST modality (BraTS
+        volumes share one skull-strip mask, so the foreground support
+        is identical across modalities) and each modality is cropped
+        straight into the output buffer — the naive stack-then-crop
+        path costs ~4s/case of pure memory traffic on this 1-CPU host.
+
+        ``ship='u8'``: affine-quantize each modality over its crop
+        min/max (q = (v-lo)/step, step=(hi-lo)/255). The tunnel moves
+        ~35 MB/s, so wire bytes — not host FLOPs — set the e2e floor;
+        uint8 halves the bf16 ship. The device dequantizes before the
+        usual 1-99% clip + z-score, so the injected error is <=
+        step/2 ~ 0.2% of the modality range, far inside the clip
+        percentiles' own variability. A case-0 label-agreement gate
+        (vs the lossless path) guards the default."""
         t0 = time.time()
+        nmod = len(modalities)
         crop = None
         off = (0, 0, 0)
+        qp = np.zeros((nmod, 2), np.float32)
         for i, m in enumerate(modalities):
             p = str(case / f"{case.name}_{m}.{args.e2e_fmt}")
             if args.e2e_fmt == "npy":
@@ -526,16 +545,24 @@ def run_e2e(args, variables, apply_fn):
             if crop is None:
                 box = cropping.nonzero_bbox(v)
                 off = cropping.crop_offsets(box, bucket, VOLUME_SHAPE)
-                # ship bf16: the attach tunnel moves ~50 MB/s, and the
-                # model computes in bf16 anyway — halving the H2D bytes
-                # halves the dominant per-case transfer cost
-                crop = np.empty((*bucket, len(modalities)), _bf16)
-            crop[..., i] = cropping.extract_crop(v, off, bucket)
-        return crop, np.asarray(off, np.int32), time.time() - t0
+                crop = np.empty((*bucket, nmod),
+                                np.uint8 if ship == "u8" else _bf16)
+            c = cropping.extract_crop(v, off, bucket)
+            if ship == "u8":
+                c = np.asarray(c, np.float32)
+                lo = float(c.min())
+                step = (float(c.max()) - lo) / 255.0 or 1.0
+                qp[i] = (lo, step)
+                np.clip((c - lo) * (1.0 / step) + 0.5, 0, 255,
+                        out=c)
+                crop[..., i] = c.astype(np.uint8)
+            else:
+                crop[..., i] = c
+        return crop, qp, np.asarray(off, np.int32), time.time() - t0
 
     # static bucket from case 0 (+1 bucket step of margin): the jit
     # compiles once; crop_offsets clamps every later case into it
-    probe, _, _ = decode(cases[0], VOLUME_SHAPE)
+    probe, _, _, _ = decode(cases[0], VOLUME_SHAPE, "bf16")
     box0 = cropping.nonzero_bbox(probe[..., 0])
     bucket = cropping.bucket_shape(
         [h - l + 16 for (l, h) in ((box0[0][i], box0[1][i])
@@ -545,40 +572,113 @@ def run_e2e(args, variables, apply_fn):
     roi = tuple(args.roi) if args.roi else tuple(
         -(-s // 16) * 16 for s in bucket)
 
-    def seg_e2e(v, crop, off):
-        x = preprocess_multimodal(crop.astype(jnp.float32),
-                                  out_size=None)
+    def seg_crop(v, x):
+        """Normalize + segment one bucket-shaped crop; labels come back
+        2-bit-packed (values 0-3, 4 voxels/byte along W) so the D2H
+        fetch is bucket/4 bytes instead of a full 240x240x155 int8 map
+        — the host unpacks and pastes into the full map (~25 ms, vs
+        ~250 ms of tunnel for the 8.9 MB map the old path fetched)."""
+        x = preprocess_multimodal(x, out_size=None)
         logits = sliding_window_inference(
             v, x, apply_fn, roi_size=roi, overlap=args.overlap,
             sw_batch_size=args.sw_batch, blend_mode="gaussian",
             out_channels=4)
-        seg = jnp.argmax(logits, axis=-1).astype(jnp.int8)
-        return jax.lax.dynamic_update_slice(
-            jnp.zeros(VOLUME_SHAPE, jnp.int8),
-            seg[:paste[0], :paste[1], :paste[2]],
-            (off[0], off[1], off[2]))
+        seg = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        s = seg.reshape(*seg.shape[:2], -1, 4)
+        return (s[..., 0] | (s[..., 1] << 2) | (s[..., 2] << 4)
+                | (s[..., 3] << 6))
 
-    jrun = jax.jit(seg_e2e)
-    crop0, off0, _ = decode(cases[0], bucket)
+    @jax.jit
+    def jrun_bf16(v, crop):
+        return seg_crop(v, crop.astype(jnp.float32))
+
+    @jax.jit
+    def jrun_u8(v, crop, qp):
+        return seg_crop(v, crop.astype(jnp.float32) * qp[:, 1]
+                        + qp[:, 0])
+
+    def unpack_paste(packed, off):
+        lab = np.empty((*bucket[:2], bucket[2] // 4, 4), np.uint8)
+        q = np.asarray(packed)
+        for k in range(4):
+            lab[..., k] = (q >> (2 * k)) & 3
+        lab = lab.reshape(bucket)
+        full = np.zeros(VOLUME_SHAPE, np.int8)
+        full[off[0]:off[0] + paste[0], off[1]:off[1] + paste[1],
+             off[2]:off[2] + paste[2]] = \
+            lab[:paste[0], :paste[1], :paste[2]]
+        return full
+
+    ship = args.e2e_ship
     t0 = time.time()
-    np.asarray(jrun(variables, jnp.asarray(crop0), jnp.asarray(off0)))
+    agree = wide_flips = None
+    if ship == "u8":
+        # self-gate on case 0 with the margin-envelope contract the
+        # suite uses for ps2d (tests/test_ps2d.py trained-checkpoint
+        # parity, --check_ps2d): the quantized ship may only flip
+        # labels at genuine decision-boundary voxels (lossless class
+        # margin inside 2x the quantization's logit-drift envelope);
+        # a flip at a wide margin means the wire format is distorting
+        # the computation and we fall back to the lossless bf16 ship.
+        jlog = jax.jit(lambda v, x: sliding_window_inference(
+            v, preprocess_multimodal(x, out_size=None), apply_fn,
+            roi_size=roi, overlap=args.overlap,
+            sw_batch_size=args.sw_batch, blend_mode="gaussian",
+            out_channels=4))
+        crop0, _, off0, _ = decode(cases[0], bucket, "bf16")
+        crop0q, qp0, _, _ = decode(cases[0], bucket, "u8")
+        lb = np.asarray(jlog(variables,
+                             jnp.asarray(np.asarray(crop0, np.float32))),
+                        np.float32)
+        deq = crop0q.astype(np.float32) * qp0[:, 1] + qp0[:, 0]
+        lu = np.asarray(jlog(variables, jnp.asarray(deq)), np.float32)
+        drift = float(np.abs(lb - lu).max())
+        top2 = np.sort(lb, axis=-1)
+        margin = top2[..., -1] - top2[..., -2]
+        dis_mask = lb.argmax(-1) != lu.argmax(-1)
+        agree = 1.0 - float(dis_mask.mean())
+        wide_flips = int((dis_mask & (margin > 2 * drift)).sum())
+        if wide_flips > 0 or (1.0 - agree) >= 0.01:
+            ship = "bf16"
+        if args.verbose:
+            print(f"# e2e u8 gate: label agreement {agree:.6f}, "
+                  f"drift {drift:.4f}, wide-margin flips "
+                  f"{wide_flips} -> ship={ship}", file=sys.stderr)
+        del lb, lu, top2, margin, dis_mask
     if args.verbose:
-        print(f"# e2e bucket={bucket} roi={roi} compile+warm "
-              f"{time.time() - t0:.0f}s", file=sys.stderr)
+        print(f"# e2e bucket={bucket} roi={roi} ship={ship} "
+              f"compile+warm {time.time() - t0:.0f}s", file=sys.stderr)
 
     ex = ThreadPoolExecutor(max_workers=args.e2e_workers)
     t0 = time.time()
-    futs = [ex.submit(decode, c, bucket) for c in cases]
+    futs = [ex.submit(decode, c, bucket, ship) for c in cases]
     host_s = dev_s = 0.0
     checksum = 0
+    inflight = []            # depth-2 software pipeline: keep one
+
+    def drain(entry):
+        nonlocal dev_s, checksum
+        dev, off = entry
+        t1 = time.time()
+        packed = np.asarray(dev)       # blocks on compute + D2H
+        dev_s += time.time() - t1
+        checksum += int(unpack_paste(packed, off).sum())
+
     for fu in futs:
-        crop, off, dt = fu.result()
+        crop, qp, off, dt = fu.result()
         host_s += dt
         t1 = time.time()
-        labels = np.asarray(jrun(variables, jnp.asarray(crop),
-                                 jnp.asarray(off)))
-        dev_s += time.time() - t1
-        checksum += int(labels.sum())
+        if ship == "u8":
+            dev = jrun_u8(variables, jnp.asarray(crop),
+                          jnp.asarray(qp))
+        else:
+            dev = jrun_bf16(variables, jnp.asarray(crop))
+        dev_s += time.time() - t1      # async dispatch + H2D enqueue
+        inflight.append((dev, off))
+        if len(inflight) > 1:          # case N computes/transfers
+            drain(inflight.pop(0))     # while N+1 decodes + ships
+    while inflight:
+        drain(inflight.pop(0))
     total = time.time() - t0
     ex.shutdown()
     vps = len(cases) / total
@@ -587,7 +687,7 @@ def run_e2e(args, variables, apply_fn):
               f"{host_s / len(cases):.2f}s, device+transfer "
               f"{dev_s / len(cases):.2f}s; labels checksum {checksum}",
               file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "volumes/sec end-to-end (disk %s -> native decode -> "
                   "crop -> on-device normalize + sliding-window "
                   "segmentation -> full 240x240x155 label map on host)"
@@ -597,7 +697,14 @@ def run_e2e(args, variables, apply_fn):
         "vs_baseline": round(vps / TARGET, 4),
         "host_decode_s_per_vol": round(host_s / len(cases), 3),
         "device_s_per_vol": round(dev_s / len(cases), 3),
-    }))
+        "ship": ship,
+    }
+    if agree is not None:
+        out["u8_label_agreement"] = round(agree, 6)
+        out["u8_wide_margin_flips"] = wide_flips
+    print(json.dumps(out))
+    out["_checksum"] = checksum      # for tests; not in the JSON line
+    return out
 
 
 if __name__ == "__main__":
