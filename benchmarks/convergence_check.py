@@ -35,7 +35,14 @@ def main():
     ap.add_argument("--val_interval", type=int, default=1)
     ap.add_argument("--resume", type=str, default=None,
                     help="checkpoint dir to resume from (continues the "
-                         "epoch counter and metrics history)")
+                         "epoch counter and metrics history); after a "
+                         "kill, prefer latest_<name> over best_<name> "
+                         "if it is ahead")
+    ap.add_argument("--save_latest_every", type=int, default=None,
+                    help="ALSO checkpoint the current state to "
+                         "latest_<name> every N epochs (save-on-best "
+                         "alone loses the tail of a killed run); "
+                         "--long defaults to 10")
     ap.add_argument("--data_dir", type=str, default=None,
                     help="persistent cohort dir; reused if it already "
                          "contains cases (skips the slow 1-CPU "
@@ -71,6 +78,8 @@ def main():
             args.epochs = 300
         if args.size_range is None:
             args.size_range = (14, 22)
+        if args.save_latest_every is None:
+            args.save_latest_every = 10
 
     import dataclasses
     import jax.numpy as jnp
@@ -122,7 +131,8 @@ def main():
     trainer = ModernBrainTumorTrainer(
         model, learning_rate=1e-3, config=cfg,
         experiment_name=args.experiment_name,
-        hausdorff_every=args.hausdorff_every)
+        hausdorff_every=args.hausdorff_every,
+        save_latest_every=args.save_latest_every or 0)
     if args.resume:
         trainer.load_checkpoint(args.resume)
     t0 = time.time()

@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--experiment_name", type=str, default=None)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--save_latest_every", type=int, default=0,
+                   help="ALSO checkpoint the current state to "
+                        "latest_<experiment> every N epochs; "
+                        "save-on-best alone loses every epoch after "
+                        "the last val improvement when a run is killed")
     p.add_argument("--num_workers", type=int, default=4)
     # TPU extensions
     p.add_argument("--preset", type=str, default="standard",
@@ -153,7 +158,8 @@ def train_main(argv: Optional[Sequence[str]] = None):
 
     trainer = ModernBrainTumorTrainer(
         model, learning_rate=args.lr,
-        experiment_name=args.experiment_name, config=cfg, mesh=mesh)
+        experiment_name=args.experiment_name, config=cfg, mesh=mesh,
+        save_latest_every=args.save_latest_every)
     if args.resume:
         trainer.load_checkpoint(args.resume)
 

@@ -52,7 +52,8 @@ class ModernBrainTumorTrainer:
                  experiment_name: Optional[str] = None,
                  config: Optional[Config] = None,
                  mesh=None, use_wandb: Optional[bool] = None,
-                 hausdorff_every: int = 1):
+                 hausdorff_every: int = 1,
+                 save_latest_every: int = 0):
         self.model = model
         self.learning_rate = learning_rate
         self.config = config or Config()
@@ -60,6 +61,13 @@ class ModernBrainTumorTrainer:
         self.experiment_name = experiment_name or (
             f"brain_tumor_{time.strftime('%Y%m%d_%H%M%S')}")
         self.hausdorff_every = hausdorff_every
+        # save-on-best alone loses every epoch after the last val-dice
+        # improvement when a run is killed (r5: a stale timeout cost a
+        # 96^3 run ~38 epochs that sat in an SGDR high-LR plateau).
+        # save_latest_every=N additionally checkpoints the CURRENT
+        # state to latest_<experiment> every N epochs; resume from it
+        # to continue a killed run from where it actually stopped.
+        self.save_latest_every = save_latest_every
 
         self.state: Optional[TrainState] = None
         self._train_step = None
@@ -140,7 +148,6 @@ class ModernBrainTumorTrainer:
     _pending_resume: Optional[str] = None
     _saved_any: bool = False
     _resumed_from: Optional[str] = None
-    _collision_guarded: bool = False
 
     def load_checkpoint(self, path: str) -> None:
         """Queue a resume; applied when the state is first built
@@ -276,6 +283,9 @@ class ModernBrainTumorTrainer:
                 if self.patience_counter >= self.patience:
                     logger.info("early stopping at epoch %d", epoch + 1)
                     break
+            if (self.save_latest_every
+                    and (epoch + 1) % self.save_latest_every == 0):
+                self.save_model(epoch + 1, path=self._latest_path())
         if self.state is not None and not self._saved_any:
             # e.g. empty val split: still persist the final weights
             self.save_model(num_epochs - 1)
@@ -303,14 +313,23 @@ class ModernBrainTumorTrainer:
         return os.path.join(self.config.models_dir,
                             f"best_{self.experiment_name}")
 
+    def _latest_path(self) -> str:
+        return os.path.join(self.config.models_dir,
+                            f"latest_{self.experiment_name}")
+
     def save_model(self, epoch: int = 0, path: Optional[str] = None) -> str:
         path = path or self._ckpt_path()
         # collision guard (round-4 incident): the FIRST save of this
-        # run must not clobber a previous run's best checkpoint at the
-        # same name — move it to a write-protected timestamped archive
-        # (a resume continuing the same checkpoint is exempt).
-        if not self._collision_guarded:
-            self._collision_guarded = True
+        # run at each destination must not clobber a previous run's
+        # checkpoint there — move it to a write-protected timestamped
+        # archive (a resume continuing the same checkpoint is exempt).
+        # Guarded per path: a run that writes best_<name> AND
+        # latest_<name> must archive each colliding destination once.
+        guarded = getattr(self, "_guarded_paths", None)
+        if guarded is None:
+            guarded = self._guarded_paths = set()
+        if os.path.abspath(path) not in guarded:
+            guarded.add(os.path.abspath(path))
             if os.path.abspath(path) != (self._resumed_from or ""):
                 archived = checkpoints.archive_existing(path)
                 if archived:

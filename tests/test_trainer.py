@@ -620,3 +620,34 @@ def test_checkpoint_collision_archives_previous(brats_dir, tmp_path):
     after = [d for d in os.listdir(archive_root)
              if d.startswith("best_collide_")]
     assert after == archived, "resume must not archive its own checkpoint"
+
+
+def test_save_latest_every_checkpoints_and_resumes(brats_dir):
+    """save_latest_every=N writes latest_<name> every N epochs with the
+    NEXT epoch recorded, so a killed run resumes where it actually
+    stopped even when val dice plateaued past the last best save (the
+    r5 incident: a stale timeout cost a 96^3 run ~38 epochs because
+    only save-on-best existed)."""
+    from segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu.train.trainer import (
+        ModernBrainTumorTrainer)
+
+    cfg = tiny_config()
+    model = models.UNet3D(out_channels=4, features=FEATS,
+                          dtype=jnp.float32)
+    train_loader, val_loader = create_brats_data_loaders(
+        brats_dir, batch_size=2, num_workers=1, image_size=IMG)
+    t1 = ModernBrainTumorTrainer(model, config=cfg,
+                                 experiment_name="latest_every",
+                                 save_latest_every=2)
+    t1.train(train_loader, val_loader, 4)
+    latest = t1._latest_path()
+    assert os.path.isdir(latest)
+
+    t2 = ModernBrainTumorTrainer(model, config=cfg,
+                                 experiment_name="latest_every",
+                                 save_latest_every=2)
+    t2.load_checkpoint(latest)
+    h2 = t2.train(train_loader, val_loader, 5)
+    # resumed at epoch 4 of 5: exactly ONE new epoch ran
+    assert t2.start_epoch == 4
+    assert len(h2["train_loss"]) == 5
