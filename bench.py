@@ -201,10 +201,19 @@ def main():
                          "and crop windows touch pages)")
     ap.add_argument("--e2e_workers", type=int, default=2,
                     help="host decode threads for --e2e")
+    ap.add_argument("--e2e_group", type=int, default=4,
+                    help="cases per device dispatch for --e2e. The "
+                         "attach pays a large fixed cost per executable "
+                         "launch (session-variable, measured ~1.9 s — "
+                         "benchmarks/probe_tunnel.py), so G cases are "
+                         "staged as one (G, *bucket) array and segmented "
+                         "by a single jit'd lax.scan call, amortizing "
+                         "the launch G-fold; 1 restores per-case "
+                         "dispatch")
     ap.add_argument("--e2e_ship", choices=("u8", "bf16"), default="u8",
                     help="H2D wire format for --e2e. 'u8': per-modality "
-                         "affine-quantized uint8 (half the bf16 bytes "
-                         "over the ~35 MB/s attach tunnel), dequantized "
+                         "affine-quantized uint8 (half the bf16 wire "
+                         "bytes over the attach tunnel), dequantized "
                          "on device before the usual clip+z-score; "
                          "self-gated by a case-0 label-agreement check "
                          "against the bf16 path (falls back below "
@@ -519,8 +528,9 @@ def run_e2e(args, variables, apply_fn):
         path costs ~4s/case of pure memory traffic on this 1-CPU host.
 
         ``ship='u8'``: affine-quantize each modality over its crop
-        min/max (q = (v-lo)/step, step=(hi-lo)/255). The tunnel moves
-        ~35 MB/s, so wire bytes — not host FLOPs — set the e2e floor;
+        min/max (q = (v-lo)/step, step=(hi-lo)/255). The attach
+        tunnel's bandwidth is session-variable (measured 0.2–1.6 GB/s,
+        benchmarks/probe_tunnel.py), so cheap wire bytes stay worth it;
         uint8 halves the bf16 ship. The device dequantizes before the
         usual 1-99% clip + z-score, so the injected error is <=
         step/2 ~ 0.2% of the modality range, far inside the clip
@@ -588,14 +598,27 @@ def run_e2e(args, variables, apply_fn):
         return (s[..., 0] | (s[..., 1] << 2) | (s[..., 2] << 4)
                 | (s[..., 3] << 6))
 
-    @jax.jit
-    def jrun_bf16(v, crop):
-        return seg_crop(v, crop.astype(jnp.float32))
+    # G cases per dispatch: one jit'd scan segments a whole group so the
+    # attach's fixed per-launch cost (dispatch marshalling + sync RTT,
+    # measured ~1.9 s/call on the real rig vs ~0.1 s of SW compute —
+    # benchmarks/probe_tunnel.py) is paid once per G volumes. The last
+    # group is padded by repeating its final case; padded outputs are
+    # fetched but not unpacked.
+    G = max(1, args.e2e_group)
 
     @jax.jit
-    def jrun_u8(v, crop, qp):
-        return seg_crop(v, crop.astype(jnp.float32) * qp[:, 1]
-                        + qp[:, 0])
+    def jrun_bf16(v, crops):
+        def body(_, c):
+            return None, seg_crop(v, c.astype(jnp.float32))
+        return jax.lax.scan(body, None, crops)[1]
+
+    @jax.jit
+    def jrun_u8(v, crops, qps):
+        def body(_, inp):
+            c, q = inp
+            return None, seg_crop(v, c.astype(jnp.float32) * q[:, 1]
+                                  + q[:, 0])
+        return jax.lax.scan(body, None, (crops, qps))[1]
 
     def unpack_paste(packed, off):
         lab = np.empty((*bucket[:2], bucket[2] // 4, 4), np.uint8)
@@ -645,8 +668,21 @@ def run_e2e(args, variables, apply_fn):
                   f"drift {drift:.4f}, wide-margin flips "
                   f"{wide_flips} -> ship={ship}", file=sys.stderr)
         del lb, lu, top2, margin, dis_mask
+    # warm the grouped graph OUTSIDE the timed window: compile is a
+    # one-time cost (persistent cache carries it across processes) and
+    # the metric is steady-state throughput.
+    wcrop = np.zeros((G, *bucket, len(modalities)),
+                     np.uint8 if ship == "u8" else _bf16)
+    if ship == "u8":
+        wqp = np.tile(np.array([0.0, 1.0], np.float32),
+                      (G, len(modalities), 1))
+        jrun_u8(variables, jnp.asarray(wcrop),
+                jnp.asarray(wqp)).block_until_ready()
+    else:
+        jrun_bf16(variables, jnp.asarray(wcrop)).block_until_ready()
+    del wcrop
     if args.verbose:
-        print(f"# e2e bucket={bucket} roi={roi} ship={ship} "
+        print(f"# e2e bucket={bucket} roi={roi} ship={ship} group={G} "
               f"compile+warm {time.time() - t0:.0f}s", file=sys.stderr)
 
     ex = ThreadPoolExecutor(max_workers=args.e2e_workers)
@@ -658,24 +694,28 @@ def run_e2e(args, variables, apply_fn):
 
     def drain(entry):
         nonlocal dev_s, checksum
-        dev, off = entry
+        dev, offs_g = entry
         t1 = time.time()
         packed = np.asarray(dev)       # blocks on compute + D2H
         dev_s += time.time() - t1
-        checksum += int(unpack_paste(packed, off).sum())
+        for g, off in enumerate(offs_g):    # padded tail rows skipped
+            checksum += int(unpack_paste(packed[g], off).sum())
 
-    for fu in futs:
-        crop, qp, off, dt = fu.result()
-        host_s += dt
+    for i in range(0, len(futs), G):
+        res = [fu.result() for fu in futs[i:i + G]]
+        host_s += sum(r[3] for r in res)
+        pad = G - len(res)
+        crops = np.stack([r[0] for r in res] + [res[-1][0]] * pad)
         t1 = time.time()
         if ship == "u8":
-            dev = jrun_u8(variables, jnp.asarray(crop),
-                          jnp.asarray(qp))
+            qps = np.stack([r[1] for r in res] + [res[-1][1]] * pad)
+            dev = jrun_u8(variables, jnp.asarray(crops),
+                          jnp.asarray(qps))
         else:
-            dev = jrun_bf16(variables, jnp.asarray(crop))
+            dev = jrun_bf16(variables, jnp.asarray(crops))
         dev_s += time.time() - t1      # async dispatch + H2D enqueue
-        inflight.append((dev, off))
-        if len(inflight) > 1:          # case N computes/transfers
+        inflight.append((dev, [r[2] for r in res]))
+        if len(inflight) > 1:          # group N computes/transfers
             drain(inflight.pop(0))     # while N+1 decodes + ships
     while inflight:
         drain(inflight.pop(0))
@@ -698,6 +738,7 @@ def run_e2e(args, variables, apply_fn):
         "host_decode_s_per_vol": round(host_s / len(cases), 3),
         "device_s_per_vol": round(dev_s / len(cases), 3),
         "ship": ship,
+        "group": G,
     }
     if agree is not None:
         out["u8_label_agreement"] = round(agree, 6)

@@ -40,11 +40,11 @@ def _tiny_setup():
     return variables, apply_fn
 
 
-def _args(n, fmt, ship, workers=2):
+def _args(n, fmt, ship, workers=2, group=1):
     return argparse.Namespace(
         e2e=n, e2e_fmt=fmt, e2e_workers=workers, e2e_ship=ship,
-        verbose=True, roi=None, overlap=0.5, sw_batch=1,
-        bucket_multiple=16)
+        e2e_group=group, verbose=True, roi=None, overlap=0.5,
+        sw_batch=1, bucket_multiple=16)
 
 
 @pytest.fixture(scope="module")
@@ -89,6 +89,21 @@ def test_e2e_bf16_and_u8_agree(small_world, capsys):
     # labels: full-cohort checksums stay within 0.5% of lossless
     assert ref["_checksum"] > 0
     assert abs(got["_checksum"] - ref["_checksum"]) <= 0.005 * ref["_checksum"]
+
+
+def test_e2e_grouped_dispatch_matches_per_case(small_world, capsys):
+    """--e2e_group stages G cases into one jit'd scan launch (amortizes
+    the attach's fixed per-dispatch cost). The grouped path must produce
+    byte-identical label maps to per-case dispatch, including the padded
+    final group (3 cases at G=2 exercises the repeat-last-case pad)."""
+    variables, apply_fn = small_world
+    ref = bench.run_e2e(_args(3, "npy", "u8", group=1), variables,
+                        apply_fn)
+    got = bench.run_e2e(_args(3, "npy", "u8", group=2), variables,
+                        apply_fn)
+    capsys.readouterr()
+    assert ref["group"] == 1 and got["group"] == 2
+    assert got["_checksum"] == ref["_checksum"]
 
 
 def test_e2e_u8_quant_roundtrip_error_bound():
