@@ -61,7 +61,14 @@ def acquire_device_or_exit(timeout_s: float) -> None:
     import subprocess
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         return
-    code = ("import jax; d = jax.devices(); "
+    # Probe compute + host readback, not just enumeration: the attach
+    # has a failure mode where jax.devices() answers but dispatch/D2H
+    # wedges indefinitely (or hard-crashes the client process with no
+    # traceback) — observed 2026-08-20. The tiny jit + sum exercises
+    # the full dispatch -> execute -> fetch path.
+    code = ("import jax, numpy as np; d = jax.devices(); "
+            "y = jax.jit(lambda x: x + 1)(jax.numpy.zeros((8, 128))); "
+            "assert float(np.asarray(y).sum()) == 1024.0; "
             "print('OK', d[0].platform, d[0].device_kind)")
     err = None
     try:
@@ -83,6 +90,41 @@ def acquire_device_or_exit(timeout_s: float) -> None:
             "detail": err,
         }))
         sys.exit(1)
+
+
+def arm_watchdog(seconds: float):
+    """Mid-run wedge guard for the driver's unattended bench run.
+
+    The acquisition probe catches a dead attach at startup, but the
+    tunnel can also wedge AFTER a successful probe (mid-compile or
+    mid-iteration — observed 2026-08-20: load average 0.00 with the
+    bench blocked in a dispatch forever). Without this, the driver's
+    cap kills the process with no JSON line and the round records an
+    unexplained rc=124. A daemon timer emits the same self-describing
+    ``tpu_unavailable`` line and exits if the metric line has not been
+    printed within ``seconds``. Returns the event to set on success.
+    Override via SEG3D_BENCH_WATCHDOG (seconds; 0 disables).
+    """
+    import threading
+    done = threading.Event()
+    if seconds <= 0:
+        return done
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "volumes/sec/chip",
+                "value": 0.0,
+                "unit": "volumes/sec",
+                "vs_baseline": 0.0,
+                "error": "tpu_unavailable",
+                "detail": f"no result within {seconds:.0f}s of device "
+                          "acquisition (attach wedged mid-run)",
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
 
 
 def ps2d_measured_default(path=None):
@@ -231,6 +273,9 @@ def main():
     args = ap.parse_args()
 
     acquire_device_or_exit(args.device_timeout)
+    on_cpu = os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+    watchdog_done = arm_watchdog(0.0 if on_cpu else float(
+        os.environ.get("SEG3D_BENCH_WATCHDOG", 2100)))
 
     pkg = "segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu"
     from importlib import import_module
@@ -268,6 +313,7 @@ def main():
 
     if args.e2e and args.e2e_only:
         run_e2e(args, variables, apply_fn)
+        watchdog_done.set()
         return
 
     rng = np.random.default_rng(0)
@@ -386,6 +432,7 @@ def main():
         "unit": "volumes/sec",
         "vs_baseline": round(vps / TARGET, 4),
     }))
+    watchdog_done.set()
     if args.check_ps2d:
         run_check_ps2d(variables, work[0], roi,
                        sliding_window_inference, args)

@@ -106,6 +106,30 @@ def test_e2e_grouped_dispatch_matches_per_case(small_world, capsys):
     assert got["_checksum"] == ref["_checksum"]
 
 
+def test_bench_watchdog_fires_and_disarms():
+    """The mid-run wedge guard: a disarmed watchdog stays silent; an
+    armed one that times out emits a self-describing tpu_unavailable
+    JSON line and exits 1 (so the driver's unattended run records the
+    outage instead of an unexplained rc=124)."""
+    import subprocess
+    import sys
+    import time
+
+    done = bench.arm_watchdog(5.0)
+    done.set()
+    time.sleep(0.2)  # must not fire
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, time; sys.path.insert(0, '.');"
+         "import bench; bench.arm_watchdog(0.5); time.sleep(10)"],
+        capture_output=True, text=True, timeout=30)
+    assert r.returncode == 1
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    assert d["error"] == "tpu_unavailable"
+    assert "wedged" in d["detail"]
+
+
 def test_e2e_u8_quant_roundtrip_error_bound():
     """Host-side affine quantization: worst-case dequant error is
     step/2 = (hi-lo)/510 of the modality range (the device multiplies
