@@ -58,25 +58,48 @@ def main():
         print(f"H2D {name}: best {best*1e3:7.1f} ms  mean {mean*1e3:7.1f} ms"
               f"  -> {mb/best:6.1f} MB/s", flush=True)
 
-    # --- 2. D2H by size ---
-    for name, shape, dt in [
-        ("packed labels (160,160,40) 1.0MB", (160, 160, 40), jnp.uint8),
-        ("int8 full map (240,240,155) 8.9MB", (240, 240, 155), jnp.int8),
-        ("f32 16MB", (2048, 2048), jnp.float32),
-    ]:
-        y = jnp.ones(shape, dt).block_until_ready()
-        mb = np.dtype(np.int8).itemsize
-        nbytes = int(np.prod(shape)) * jnp.dtype(dt).itemsize
-        best, mean = timeit(lambda y=y: np.asarray(y))
-        print(f"D2H {name}: best {best*1e3:7.1f} ms  mean {mean*1e3:7.1f} ms"
-              f"  -> {nbytes/1e6/best:6.1f} MB/s", flush=True)
-
-    # --- 3. per-call dispatch+sync floor ---
+    # --- 2. per-call dispatch+sync floor (before D2H: a D2H attempt
+    # can hard-crash the client process with no traceback — observed
+    # 2026-08-20 — so the cheap diagnostic runs first) ---
     f = jax.jit(lambda x: x + 1)
     x = jnp.zeros((8, 128), jnp.float32)
     best, mean = timeit(lambda: np.asarray(f(x)))
     print(f"trivial jit round-trip: best {best*1e3:.1f} ms  mean {mean*1e3:.1f} ms",
           flush=True)
+
+    # --- 3. D2H by size, each size in its OWN subprocess so a client
+    # crash costs one measurement, not the probe ---
+    import subprocess
+    for name, shape, dt in [
+        ("packed labels (160,160,40) 1.0MB", (160, 160, 40), "uint8"),
+        ("int8 full map (240,240,155) 8.9MB", (240, 240, 155), "int8"),
+        ("f32 16MB", (2048, 2048), "float32"),
+    ]:
+        code = (
+            "import time, numpy as np, jax, jax.numpy as jnp\n"
+            f"y = jnp.ones({shape!r}, jnp.{dt}).block_until_ready()\n"
+            "np.asarray(y)\n"
+            "ts = []\n"
+            "for _ in range(5):\n"
+            "    t0 = time.time(); np.asarray(y); ts.append(time.time()-t0)\n"
+            "print('RESULT', min(ts), sum(ts)/len(ts))\n")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=300)
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("RESULT")]
+            if not line:
+                print(f"D2H {name}: FAILED rc={r.returncode} "
+                      f"(client died: {r.stderr.strip().splitlines()[-1][:120] if r.stderr.strip() else 'no stderr'})",
+                      flush=True)
+                continue
+            best, mean = (float(v) for v in line[0].split()[1:])
+        except subprocess.TimeoutExpired:
+            print(f"D2H {name}: HUNG >300s", flush=True)
+            continue
+        nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+        print(f"D2H {name}: best {best*1e3:7.1f} ms  mean {mean*1e3:7.1f} ms"
+              f"  -> {nbytes/1e6/best:6.1f} MB/s", flush=True)
 
     # --- 4. resident compute at the e2e bucket ---
     pkg = "segmentation_and_classification_of_brain_tumor_using_3d_unet_tpu"
@@ -96,8 +119,7 @@ def main():
     crop = jax.device_put(
         rng.standard_normal((*bucket, 4)).astype(np.float32), dev)
 
-    @jax.jit
-    def jrun(v, x):
+    def seg_one(v, x):
         x = preprocess.preprocess_multimodal(x, out_size=None)
         logits = sw.sliding_window_inference(
             v, x, apply_fn, roi_size=roi, overlap=0.25, sw_batch_size=1,
@@ -107,12 +129,28 @@ def main():
         return (s[..., 0] | (s[..., 1] << 2) | (s[..., 2] << 4)
                 | (s[..., 3] << 6))
 
+    jrun = jax.jit(seg_one)
     t0 = time.time()
     jrun(var, crop).block_until_ready()
     print(f"resident seg compile+first: {time.time()-t0:.1f} s", flush=True)
     best, mean = timeit(lambda: jrun(var, crop).block_until_ready(), reps=5)
     print(f"resident seg (160^3 bucket, normalize+SW+argmax+pack): "
           f"best {best*1e3:7.1f} ms  mean {mean*1e3:7.1f} ms", flush=True)
+
+    # --- 5. grouped dispatch (the --e2e_group path): per-case time of
+    # one scan-of-G launch vs G single launches isolates the fixed
+    # per-launch cost the grouping amortizes ---
+    G = 4
+    jrun_g = jax.jit(lambda v, xs: jax.lax.scan(
+        lambda _, c: (None, seg_one(v, c)), None, xs)[1])
+    crops = jnp.stack([crop] * G)
+    t0 = time.time()
+    jrun_g(var, crops).block_until_ready()
+    print(f"grouped seg compile+first: {time.time()-t0:.1f} s", flush=True)
+    best, mean = timeit(lambda: jrun_g(var, crops).block_until_ready(),
+                        reps=5)
+    print(f"grouped seg (G={G}, one launch): best {best*1e3/G:7.1f} ms/case"
+          f"  mean {mean*1e3/G:7.1f} ms/case", flush=True)
 
 
 if __name__ == "__main__":
